@@ -1,0 +1,139 @@
+"""CLI / config surface.
+
+Mirrors the reference parser (`src/helpers/init_helper.py:35-96`) flag for
+flag, with its latent breaks fixed (documented in SURVEY.md §5):
+- positional ``model`` accepts both 'anchor-based' and 'anchor-free'
+  (the reference's ``choices=('anchor-based')`` is a bare string, so
+  membership is substring-based and anchor-free is rejected);
+- ``--fft-attention-orientation`` maps to the ``orientation`` attribute all
+  consumers read (the reference dest mismatch raises AttributeError);
+- every advertised ``--base-model`` choice actually constructs.
+
+TPU additions: ``--data-root`` (replaces hard-coded kaggle/local paths at
+data_helper.py:44-56), ``--batch-size``, ``--bucket-size`` and
+``--num-devices`` for the data-parallel mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import random
+from pathlib import Path
+
+import numpy as np
+
+
+def set_random_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def init_logger(log_dir: str, log_file: str) -> logging.Logger:
+    logger = logging.getLogger()
+    format_str = r"[%(asctime)s] %(message)s"
+    logging.basicConfig(level=logging.INFO, datefmt=r"%Y/%m/%d %H:%M:%S",
+                        format=format_str)
+    log_dir = Path(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    fh = logging.FileHandler(str(log_dir / log_file))
+    fh.setFormatter(logging.Formatter(format_str))
+    logger.addHandler(fh)
+    return logger
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+
+    # model type
+    parser.add_argument("model", type=str,
+                        choices=("anchor-based", "anchor-free"))
+    parser.add_argument("--model-depth", type=str, default="shallow",
+                        choices=["shallow", "deep", "local-global-attention",
+                                 "original", "cross-attention"])
+    parser.add_argument("--fft-attention-orientation", dest="orientation",
+                        type=str,
+                        choices=["paper", "temporal", "feature_wise"],
+                        default="paper")
+    parser.add_argument("--pooling-type", type=str, default="roi",
+                        choices=["roi", "flat-pooling", "fft", "dwt"])
+
+    # training & evaluation
+    parser.add_argument("--device", type=str, default="auto",
+                        choices=("auto", "tpu", "cpu", "gpu"))
+    parser.add_argument("--seed", type=int, default=12345)
+    parser.add_argument("--splits", type=str, nargs="+", default=[])
+    parser.add_argument("--max-epoch", type=int, default=300)
+    parser.add_argument("--model-dir", type=str, default="../models/model")
+    parser.add_argument("--log-file", type=str, default="log.txt")
+    parser.add_argument("--lr", type=float, default=5e-5)
+    parser.add_argument("--weight-decay", type=float, default=1e-5)
+    parser.add_argument("--lambda-reg", type=float, default=1.0)
+    parser.add_argument("--nms-thresh", type=float, default=0.5)
+    parser.add_argument("--fc-depth", type=int, default=7)
+    parser.add_argument("--attention-depth", type=int, default=2)
+    parser.add_argument("--encoder-type", type=str, default="classic",
+                        choices=["classic", "local-global"])
+
+    # inference
+    parser.add_argument("--ckpt-path", type=str, default=None)
+    parser.add_argument("--sample-rate", type=int, default=15)
+    parser.add_argument("--source", type=str, default=None)
+    parser.add_argument("--save-path", type=str, default=None)
+    parser.add_argument("--feature-extractor", type=str, default="google-net",
+                        choices=["google-net", "swin-transformer",
+                                 "convnext"])
+
+    # common model config
+    parser.add_argument("--base-model", type=str, default="attention",
+                        choices=["attention", "lstm", "linear", "bilstm",
+                                 "gcn", "nystromformer", "fourier",
+                                 "linformer", "performer", "dwt"])
+    parser.add_argument("--num-head", type=int, default=8)
+    parser.add_argument("--num-feature", type=int, default=1024)
+    parser.add_argument("--num-hidden", type=int, default=128)
+
+    # anchor based
+    parser.add_argument("--neg-sample-ratio", type=float, default=2.0)
+    parser.add_argument("--incomplete-sample-ratio", type=float, default=1.0)
+    parser.add_argument("--pos-iou-thresh", type=float, default=0.6)
+    parser.add_argument("--neg-iou-thresh", type=float, default=0.0)
+    parser.add_argument("--incomplete-iou-thresh", type=float, default=0.3)
+    parser.add_argument("--anchor-scales", type=int, nargs="+",
+                        default=[4, 8, 16, 32])
+
+    # anchor free
+    parser.add_argument("--lambda-ctr", type=float, default=1.0)
+    parser.add_argument("--cls-loss", type=str, default="focal",
+                        choices=["focal", "cross-entropy"])
+    parser.add_argument("--reg-loss", type=str, default="soft-iou",
+                        choices=["soft-iou", "smooth-l1"])
+
+    # kept for reference-CLI compatibility (path roots now via --data-root)
+    parser.add_argument("--where", type=str, choices=["kaggle", "local"],
+                        default="local")
+
+    # TPU-native additions
+    parser.add_argument("--data-root", type=str, default=None,
+                        help="directory containing the .h5 dataset files; "
+                             "split keys are resolved against it")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="videos per train step (1 = reference parity; "
+                             "larger batches data-parallelize across the "
+                             "device mesh)")
+    parser.add_argument("--bucket-size", type=int, default=64,
+                        help="sequence lengths are padded up to a multiple "
+                             "of this (64 aligns nystromformer landmarks "
+                             "and TPU lanes)")
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="data-parallel mesh size (0 = all local "
+                             "devices)")
+    parser.add_argument("--untie-fc-blocks", action="store_true",
+                        help="use independent weights per fc_block instead "
+                             "of the reference's shared-weight trunk")
+    parser.add_argument("--profile", action="store_true",
+                        help="emit jax profiler traces + per-step timings")
+    return parser
+
+
+def get_arguments(args=None) -> argparse.Namespace:
+    return get_parser().parse_args(args)

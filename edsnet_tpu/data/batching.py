@@ -1,0 +1,219 @@
+"""Label precomputation + length-bucketed padded batching.
+
+The reference regenerates training labels from scratch inside the epoch loop
+for every video (keyshot summary + knapsack + anchor IoU labeling on the
+host, `src/anchor_based/train.py:77-108`) even though they are
+epoch-invariant.  Here all deterministic labels are computed once per video
+at dataset-wrap time; only negative sampling (random per step in the
+reference, anchor_helper.py:53-71) stays dynamic and runs *on device* inside
+the jitted train step.
+
+Batches are buckets of videos padded to a common length (a multiple of
+``bucket_size``, default 64 = nystromformer landmark count and TPU lane
+width) with boolean masks, stacked for data-parallel sharding over the mesh.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from edsnet_tpu.data.dataset import VideoDataset, VideoRecord
+from edsnet_tpu.ops import anchor_free as af_ops
+from edsnet_tpu.ops import anchors as anchor_ops
+from edsnet_tpu.ops import bbox as bbox_ops
+from edsnet_tpu.ops import summary as summ_ops
+
+
+@dataclass
+class TrainItem:
+    """One video with precomputed labels (anchor-based and/or anchor-free)."""
+    key: str
+    seq: np.ndarray                 # [N, F]
+    target: np.ndarray              # [N] downsampled keyshot summary (0/1)
+    # anchor-based labels
+    cls_pos: Optional[np.ndarray] = None        # [N, S] int32
+    loc_label: Optional[np.ndarray] = None      # [N, S, 2] float32
+    neg_eligible: Optional[np.ndarray] = None   # [N, S] bool
+    inc_eligible: Optional[np.ndarray] = None   # [N, S] bool
+    num_pos: int = 0
+    # anchor-free labels
+    af_loc: Optional[np.ndarray] = None         # [N, 2]
+    af_ctr: Optional[np.ndarray] = None         # [N]
+
+
+def make_target(record: VideoRecord) -> Optional[np.ndarray]:
+    """gtscore -> keyshot summary -> 15x downsampled 0/1 target.
+
+    Mirrors anchor_based/train.py:79-89 incl. the NaN-skip and
+    empty-target-skip behavior (returns None to skip the video).
+    """
+    try:
+        keyshot = summ_ops.get_keyshot_summ(
+            record.gtscore, record.cps, record.n_frames, record.nfps,
+            record.picks)
+    except ValueError as e:
+        if "NaN" in str(e):
+            return None
+        raise
+    target = summ_ops.downsample_summ(keyshot)
+    if not target.any():
+        return None
+    return target.astype(np.int32)
+
+
+def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
+                    pos_iou: float, neg_iou: float,
+                    inc_iou: float) -> Optional[TrainItem]:
+    """Anchor-based labels for one video. (anchor_based/train.py:77-108)"""
+    target = make_target(record)
+    if target is None:
+        return None
+    n = target.shape[0]
+    target_bboxes = bbox_ops.seq2bbox(target)
+    target_cw = np.asarray(bbox_ops.lr2cw(target_bboxes))
+    anchors = np.asarray(anchor_ops.get_anchors(n, anchor_scales))
+
+    cls_pos, loc_label = anchor_ops.get_pos_label(anchors, target_cw, pos_iou)
+    cls_pos = np.asarray(cls_pos)
+    loc_label = np.asarray(loc_label)
+    num_pos = int(cls_pos.sum())
+
+    cls_at_neg, _ = anchor_ops.get_pos_label(anchors, target_cw, neg_iou)
+    neg_eligible = np.asarray(cls_at_neg) == 0
+
+    cls_at_inc, _ = anchor_ops.get_pos_label(anchors, target_cw, inc_iou)
+    # reference forces entries with iou <= neg_iou to 1 so only the
+    # "incomplete overlap" band stays eligible (train.py:103-104)
+    inc_eligible = (np.asarray(cls_at_inc) == 0) & ~neg_eligible
+
+    return TrainItem(key=record.key, seq=record.seq, target=target,
+                     cls_pos=cls_pos.astype(np.int32), loc_label=loc_label,
+                     neg_eligible=neg_eligible, inc_eligible=inc_eligible,
+                     num_pos=num_pos)
+
+
+def prepare_af_item(record: VideoRecord) -> Optional[TrainItem]:
+    """Anchor-free labels for one video. (anchor_free/train.py:55-67)"""
+    target = make_target(record)
+    if target is None:
+        return None
+    loc = np.asarray(af_ops.get_loc_label(target))
+    ctr = np.asarray(af_ops.get_ctr_label(target, loc))
+    return TrainItem(key=record.key, seq=record.seq, target=target,
+                     af_loc=loc, af_ctr=ctr)
+
+
+def prepare_items(dataset: VideoDataset, kind: str,
+                  anchor_scales: Sequence[int] = (),
+                  pos_iou: float = 0.6, neg_iou: float = 0.0,
+                  inc_iou: float = 0.3) -> List[TrainItem]:
+    items = []
+    for i in range(len(dataset)):
+        record = dataset[i]
+        if kind == "anchor-based":
+            item = prepare_ab_item(record, anchor_scales, pos_iou, neg_iou,
+                                   inc_iou)
+        else:
+            item = prepare_af_item(record)
+        if item is not None:
+            items.append(item)
+    return items
+
+
+def _bucket_len(n: int, bucket_size: int) -> int:
+    return max(bucket_size, ((n + bucket_size - 1) // bucket_size)
+               * bucket_size)
+
+
+def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
+    pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+def batch_items(items: List[TrainItem], batch_size: int, bucket_size: int,
+                shuffle: bool, rng: Optional[np.random.RandomState] = None,
+                pad_batch_to: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield padded, masked batches grouped by length bucket.
+
+    Each batch dict has: seq [B,L,F], mask [B,L], video_valid [B], plus the
+    stacked label arrays present on the items.  B is padded up to a multiple
+    of ``pad_batch_to`` (the data mesh size) with dummy rows
+    (video_valid=False).
+    """
+    order = np.arange(len(items))
+    if shuffle:
+        (rng or np.random).shuffle(order)
+
+    buckets: Dict[int, List[TrainItem]] = {}
+    for idx in order:
+        item = items[idx]
+        blen = _bucket_len(item.seq.shape[0], bucket_size)
+        buckets.setdefault(blen, []).append(item)
+
+    bucket_keys = list(buckets)
+    if shuffle:
+        (rng or np.random).shuffle(bucket_keys)
+
+    for blen in bucket_keys:
+        group = buckets[blen]
+        for i in range(0, len(group), batch_size):
+            chunk = group[i:i + batch_size]
+            yield _stack_chunk(chunk, blen, pad_batch_to)
+
+
+def _stack_chunk(chunk: List[TrainItem], blen: int,
+                 pad_batch_to: int) -> Dict[str, np.ndarray]:
+    b = len(chunk)
+    b_pad = ((b + pad_batch_to - 1) // pad_batch_to) * pad_batch_to
+
+    def stack(get, dtype=None):
+        arrs = [_pad_to(np.asarray(get(it)), blen) for it in chunk]
+        arrs += [np.zeros_like(arrs[0])] * (b_pad - b)
+        out = np.stack(arrs)
+        return out.astype(dtype) if dtype else out
+
+    batch = {
+        "seq": stack(lambda it: it.seq, np.float32),
+        "mask": np.stack(
+            [np.arange(blen) < it.seq.shape[0] for it in chunk]
+            + [np.zeros(blen, bool)] * (b_pad - b)),
+        "video_valid": np.asarray([True] * b + [False] * (b_pad - b)),
+        "target": stack(lambda it: it.target, np.int32),
+        "keys": [it.key for it in chunk],
+    }
+    first = chunk[0]
+    if first.cls_pos is not None:
+        batch["cls_pos"] = stack(lambda it: it.cls_pos, np.int32)
+        batch["loc_label"] = stack(lambda it: it.loc_label, np.float32)
+        batch["neg_eligible"] = stack(lambda it: it.neg_eligible, bool)
+        batch["inc_eligible"] = stack(lambda it: it.inc_eligible, bool)
+        batch["num_pos"] = np.asarray(
+            [it.num_pos for it in chunk] + [0] * (b_pad - b), np.int32)
+    if first.af_loc is not None:
+        batch["af_loc"] = stack(lambda it: it.af_loc, np.float32)
+        batch["af_ctr"] = stack(lambda it: it.af_ctr, np.float32)
+    return batch
+
+
+def batch_eval_records(records: List[VideoRecord], batch_size: int,
+                       bucket_size: int,
+                       pad_batch_to: int = 1) -> Iterator[Dict]:
+    """Padded eval batches: model inputs + per-video host metadata."""
+    buckets: Dict[int, List[VideoRecord]] = {}
+    for r in records:
+        blen = _bucket_len(r.seq.shape[0], bucket_size)
+        buckets.setdefault(blen, []).append(r)
+    for blen, group in buckets.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i:i + batch_size]
+            b = len(chunk)
+            b_pad = ((b + pad_batch_to - 1) // pad_batch_to) * pad_batch_to
+            seq = np.stack([_pad_to(r.seq.astype(np.float32), blen)
+                            for r in chunk]
+                           + [np.zeros((blen,) + chunk[0].seq.shape[1:],
+                                       np.float32)] * (b_pad - b))
+            mask = np.stack([np.arange(blen) < r.seq.shape[0] for r in chunk]
+                            + [np.zeros(blen, bool)] * (b_pad - b))
+            yield {"seq": seq, "mask": mask, "records": chunk}

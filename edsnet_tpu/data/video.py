@@ -1,0 +1,151 @@
+"""Video preprocessing: frame decode (host), CNN features, KTS shots.
+
+Reference: `src/helpers/video_helper.py`.  Decode stays host-side (cv2);
+KTS runs through the native C++/NumPy DP (edsnet_tpu/ops/kts.py).
+
+Feature extractors (video_helper.py:27-73): GoogLeNet pool5 / Swin-V2-B /
+ConvNeXt-Base, 1024-d L2-normalized per frame.  torchvision is not part of
+this image's baked dependencies, so the torchvision-backed extractors are
+gated behind an import; a deterministic ``random`` extractor (hash-seeded
+projection of downsampled pixels) exists for tests and plumbing runs.
+"""
+from __future__ import annotations
+
+from os import PathLike
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from edsnet_tpu.ops.kts import cpd_auto
+
+
+def ends_with_mp4(path: PathLike) -> bool:
+    return str(path).endswith(".mp4")
+
+
+class _TorchvisionExtractor:
+    def __init__(self, kind: str):
+        import torch
+        from torch import nn
+        from torchvision import models, transforms
+
+        self._torch = torch
+        self.preprocess = transforms.Compose([
+            transforms.Resize(256),
+            transforms.CenterCrop(224),
+            transforms.ToTensor(),
+            transforms.Normalize(mean=[0.485, 0.456, 0.406],
+                                 std=[0.229, 0.224, 0.225]),
+        ])
+        if kind == "google-net":
+            m = models.googlenet(weights="DEFAULT")
+            m = nn.Sequential(*list(m.children())[:-2])
+        elif kind == "swin-transformer":
+            m = models.swin_v2_b(weights="DEFAULT")
+            m = nn.Sequential(*list(m.children())[:-1])
+        elif kind == "convnext":
+            m = models.convnext_base(weights="DEFAULT")
+            m = nn.Sequential(*list(m.children())[:-1])
+        else:
+            raise ValueError(f"Invalid feature extractor {kind}")
+        self.model = m.eval()
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        from PIL import Image
+        torch = self._torch
+        batch = self.preprocess(Image.fromarray(img)).unsqueeze(0)
+        with torch.no_grad():
+            feat = self.model(batch).view(-1).cpu().numpy()
+        assert feat.shape == (1024,), \
+            f"Invalid feature shape {feat.shape}: expected 1024"
+        return feat / (np.linalg.norm(feat) + 1e-10)
+
+
+class _RandomProjectionExtractor:
+    """Deterministic test extractor: 1024-d projection of 32x32 grayscale."""
+
+    def __init__(self, dim: int = 1024, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self.proj = rng.randn(32 * 32, dim).astype(np.float32) / 32.0
+        self.dim = dim
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        small = cv2.resize(gray, (32, 32)).astype(np.float32) / 255.0
+        feat = small.reshape(-1) @ self.proj
+        return feat / (np.linalg.norm(feat) + 1e-10)
+
+
+class FeatureExtractor:
+    """1024-d per-frame features, L2-normalized. (video_helper.py:27-73)"""
+
+    def __init__(self, feature_extractor: str = "google-net"):
+        if feature_extractor == "random":
+            self._impl = _RandomProjectionExtractor()
+            return
+        try:
+            self._impl = _TorchvisionExtractor(feature_extractor)
+        except ImportError as e:
+            raise RuntimeError(
+                "torchvision is required for pretrained frame-feature "
+                "extraction but is not installed in this environment. "
+                "Either install torchvision, use pre-extracted features "
+                "(the eccv16 h5 datasets), or pass "
+                "feature_extractor='random' for plumbing tests.") from e
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        return self._impl.run(img)
+
+
+class VideoPreprocessor:
+    """mp4 -> (n_frames, features, change_points, nfps, picks).
+
+    (video_helper.py:76-131; note infer.py:22 at HEAD omits the required
+    feature_extractor argument — we default it instead.)
+    """
+
+    def __init__(self, sample_rate: int,
+                 feature_extractor: str = "google-net"):
+        self.model = FeatureExtractor(feature_extractor)
+        self.sample_rate = sample_rate
+
+    def get_features(self, video_path: PathLike) -> Tuple[int, np.ndarray]:
+        import cv2
+        video_path = Path(video_path)
+        cap = cv2.VideoCapture(str(video_path))
+        assert cap is not None and cap.isOpened(), \
+            f"Cannot open video: {video_path}"
+
+        features = []
+        n_frames = 0
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            if n_frames % self.sample_rate == 0:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                features.append(self.model.run(frame))
+            n_frames += 1
+        cap.release()
+        return n_frames, np.asarray(features, dtype=np.float32)
+
+    def kts(self, n_frames: int, features: np.ndarray):
+        """Linear-kernel KTS segmentation. (video_helper.py:109-126)"""
+        seq_len = len(features)
+        picks = np.arange(0, seq_len) * self.sample_rate
+        kernel = np.matmul(features, features.T)
+        change_points, _ = cpd_auto(kernel, seq_len - 1, 1)
+        change_points = change_points * self.sample_rate
+        change_points = np.hstack((0, change_points, n_frames))
+        begin_frames = change_points[:-1]
+        end_frames = change_points[1:]
+        change_points = np.vstack((begin_frames, end_frames - 1)).T
+        n_frame_per_seg = end_frames - begin_frames
+        return change_points, n_frame_per_seg, picks
+
+    def run(self, video_path: PathLike):
+        n_frames, features = self.get_features(video_path)
+        cps, nfps, picks = self.kts(n_frames, features)
+        return n_frames, features, cps, nfps, picks

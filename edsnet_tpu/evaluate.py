@@ -1,0 +1,151 @@
+"""Evaluation: predict -> NMS (device) -> keyshot summary -> F-score.
+
+Reference: `src/evaluate.py`.  The forward + anchor decode + NMS run as one
+jitted program per length bucket (the reference round-trips predictions to
+NumPy per video, evaluate.py:24-28); summary assembly (knapsack over shots)
+runs on the host via the native C++ solver.
+
+Also the CLI: per-split checkpoint load + F-score/diversity report,
+`eval_metric='avg' if 'tvsum' in key else 'max'` (evaluate.py:32-34).
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu import config as config_lib
+from edsnet_tpu.data import batching
+from edsnet_tpu.data.dataset import (AverageMeter, DataLoader, VideoDataset,
+                                     get_ckpt_path, load_yaml)
+from edsnet_tpu.models.model_zoo import get_model
+from edsnet_tpu.ops import bbox as bbox_ops
+from edsnet_tpu.ops import summary as summ_ops
+from edsnet_tpu.utils import checkpoint as ckpt_lib
+
+logger = logging.getLogger()
+
+
+@partial(jax.jit, static_argnames=("model", "num_scales", "nms_thresh"))
+def _predict_nms(model, variables, seq, mask, lens, num_scales: int,
+                 nms_thresh: float):
+    """Jitted predict + clip/round + masked NMS for a padded batch."""
+    pred_cls, boxes = model.apply(variables, seq, mask, method="predict")
+    b, total = pred_cls.shape
+    n = total // num_scales
+    positions = jnp.arange(total) // num_scales
+
+    def one(cls_i, boxes_i, len_i):
+        valid = positions < len_i
+        boxes_c = jnp.round(jnp.clip(boxes_i, 0, len_i)).astype(jnp.float32)
+        keep = bbox_ops.nms_masked(cls_i, boxes_c, nms_thresh, valid)
+        return keep, boxes_c
+
+    keeps, boxes_c = jax.vmap(one)(pred_cls, boxes, lens)
+    return pred_cls, boxes_c, keeps
+
+
+def evaluate(model, variables, val_records: List, nms_thresh: float,
+             batch_size: int = 4, bucket_size: int = 64):
+    """F-score + diversity over a list of VideoRecords. (evaluate.py:14-40)"""
+    stats = AverageMeter("fscore", "diversity")
+    num_scales = getattr(model, "anchor_scales", None)
+    if num_scales is not None:
+        from edsnet_tpu.ops.anchors import anchor_scales_list
+        num_scales = len(anchor_scales_list(num_scales))
+    else:
+        num_scales = 1
+
+    for batch in batching.batch_eval_records(val_records, batch_size,
+                                             bucket_size):
+        lens = np.asarray([r.seq.shape[0] for r in batch["records"]]
+                          + [0] * (batch["seq"].shape[0]
+                                   - len(batch["records"])), np.int32)
+        pred_cls, boxes, keeps = _predict_nms(
+            model, variables, jnp.asarray(batch["seq"]),
+            jnp.asarray(batch["mask"]), jnp.asarray(lens), num_scales,
+            nms_thresh)
+        pred_cls = np.asarray(pred_cls)
+        boxes = np.asarray(boxes)
+        keeps = np.asarray(keeps)
+
+        for i, record in enumerate(batch["records"]):
+            seq_len = record.seq.shape[0]
+            keep_idx = np.where(keeps[i])[0]
+            order = np.argsort(pred_cls[i][keep_idx], kind="stable")[::-1]
+            keep_idx = keep_idx[order]
+            kept_cls = pred_cls[i][keep_idx]
+            kept_boxes = boxes[i][keep_idx].round().astype(np.int32)
+
+            pred_summ = summ_ops.bbox2summary(
+                seq_len, kept_cls, kept_boxes, record.cps, record.n_frames,
+                record.nfps, record.picks)
+
+            eval_metric = "avg" if "tvsum" in record.key else "max"
+            fscore = summ_ops.get_summ_f1score(
+                pred_summ, record.user_summary, eval_metric)
+            down = summ_ops.downsample_summ(pred_summ)[:seq_len]
+            if down.size < seq_len:
+                down = np.pad(down, (0, seq_len - down.size))
+            diversity = summ_ops.get_summ_diversity(down, record.seq)
+            stats.update(fscore=fscore, diversity=diversity)
+
+    return stats.fscore, stats.diversity
+
+
+def evaluate_loader(model, variables, val_loader: DataLoader,
+                    nms_thresh: float, **kwargs):
+    records = list(iter(val_loader))
+    return evaluate(model, variables, records, nms_thresh, **kwargs)
+
+
+def main():
+    args = config_lib.get_arguments()
+    config_lib.init_logger(args.model_dir, args.log_file)
+    config_lib.set_random_seed(args.seed)
+    logger.info(vars(args))
+
+    model = get_model(args.model, **vars(args))
+
+    for split_path in args.splits:
+        split_path = Path(split_path)
+        splits = load_yaml(split_path)
+        stats = AverageMeter("fscore", "diversity")
+
+        for split_idx, split in enumerate(splits):
+            ckpt_path = get_ckpt_path(args.model_dir, split_path, split_idx)
+            variables = ckpt_lib.load_checkpoint(
+                model, ckpt_path,
+                example_input=_example_input(args, split))
+
+            val_set = VideoDataset(split["test_keys"], args.data_root)
+            records = [val_set[i] for i in range(len(val_set))]
+            fscore, diversity = evaluate(model, variables, records,
+                                         args.nms_thresh,
+                                         batch_size=max(args.batch_size, 1),
+                                         bucket_size=args.bucket_size)
+            stats.update(fscore=fscore, diversity=diversity)
+            msg = (f"{split_path.stem} split {split_idx}: diversity: "
+                   f"{diversity:.4f}, F-score: {fscore:.4f}")
+            logger.info(msg)
+            print(msg)
+
+        msg = (f"{split_path.stem}: diversity: {stats.diversity:.4f}, "
+               f"F-score: {stats.fscore:.4f}")
+        logger.info(msg)
+        print(msg)
+
+
+def _example_input(args, split):
+    n = args.bucket_size
+    return (jnp.zeros((1, n, args.num_feature), jnp.float32),
+            jnp.ones((1, n), bool))
+
+
+if __name__ == "__main__":
+    main()

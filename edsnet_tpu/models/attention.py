@@ -1,0 +1,51 @@
+"""Vanilla multi-head self-attention backbone.
+
+Reference: `src/modules/models.py:12-74` (ScaledDotProductAttention with
+dropout 0.5 *on the attention map*, MultiHeadAttention with bias-free
+projections and a bias-free output fc + dropout 0.5).  Unlike the reference
+(which hard-codes batch 1 at models.py:52-57), this is batched and
+mask-aware: padded key positions are excluded from the softmax, so a padded
+bucket reproduces the unpadded computation exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from edsnet_tpu.models.common import XAVIER2, masked_softmax
+
+
+class AttentionExtractor(nn.Module):
+    """(B, N, F) -> (B, N, F) self-attention mixing."""
+    num_head: int = 8
+    num_feature: int = 1024
+    attn_dropout: float = 0.5
+    out_dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        b, n, f = x.shape
+        h = self.num_head
+        d_k = f // h
+
+        def proj(name):
+            return nn.Dense(f, use_bias=False, kernel_init=XAVIER2,
+                            name=name)(x)
+
+        q = proj("Q").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
+        k = proj("K").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
+        v = proj("V").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(d_k)
+        key_mask = None if mask is None else mask[:, None, None, :]
+        attn = masked_softmax(attn, key_mask, axis=-1)
+        attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
+
+        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, f)
+        y = nn.Dense(f, use_bias=False, kernel_init=XAVIER2, name="fc")(y)
+        y = nn.Dropout(self.out_dropout)(y, deterministic=deterministic)
+        return y

@@ -1,0 +1,104 @@
+"""Linformer backbone: learned low-rank projection of K/V along time.
+
+Reference: `src/transformer/linformer.py` (LinformerSelfAttention with
+(seq_len -> k) projections, PreNorm + FF block).  The reference CLI exposes
+``--base-model linformer`` but its factory branch is commented out
+(`src/modules/models.py:138-139`) and the DSNet forward overwrites the
+padded input (`src/anchor_based/dsnet.py:102-104`), so it is dead at HEAD.
+We implement the *intended* behavior: pad the sequence to ``seq_len`` with
+zeros, attend, and crop back.  Factory config: depth=1, k=1000,
+seq_len=5000, dim_head=64, dropout=0.5, mlp_dim=1024.
+
+Masking: zero-padded rows produce zero keys/values (bias-free projections),
+so they contribute nothing to the projected K/V — matching the intended
+reference computation exactly.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from edsnet_tpu.models.common import XAVIER2, apply_mask, dense
+
+
+class LinformerSelfAttention(nn.Module):
+    dim: int
+    seq_len: int = 5000
+    k: int = 1000
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        b, n, d = x.shape
+        h, dh, kk = self.heads, self.dim_head, self.k
+        assert n <= self.seq_len, f"sequence {n} exceeds seq_len {self.seq_len}"
+
+        x = apply_mask(x, mask)
+        if n < self.seq_len:
+            x_kv = jnp.pad(x, ((0, 0), (0, self.seq_len - n), (0, 0)))
+        else:
+            x_kv = x
+
+        q = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
+                     name="to_q")(x)
+        keys = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
+                        name="to_k")(x_kv)
+        values = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
+                          name="to_v")(x_kv)
+
+        # learned (seq_len, k) projections, uniform(-1/sqrt(k), 1/sqrt(k))
+        # (linformer.py:12-16,35,40)
+        def proj_init(rng, shape):
+            import jax
+            return jax.random.uniform(rng, shape, minval=-1 / math.sqrt(kk),
+                                      maxval=1 / math.sqrt(kk))
+
+        proj_k = self.param("proj_k", proj_init, (self.seq_len, kk))
+        proj_v = self.param("proj_v", proj_init, (self.seq_len, kk))
+
+        keys = jnp.einsum("bnd,nk->bkd", keys, proj_k)
+        values = jnp.einsum("bnd,nk->bkd", values, proj_v)
+
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        keys = keys.reshape(b, kk, h, dh).transpose(0, 2, 1, 3)
+        values = values.reshape(b, kk, h, dh).transpose(0, 2, 1, 3)
+
+        dots = jnp.einsum("bhnd,bhkd->bhnk", q, keys) * (dh ** -0.5)
+        attn = nn.softmax(dots, axis=-1)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnk,bhkd->bhnd", attn, values)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+        return dense(self.dim, name="to_out")(out)
+
+
+class Linformer(nn.Module):
+    """PreNorm(attn) + PreNorm(FF) stack. (linformer.py:114-128)"""
+    dim: int
+    depth: int = 1
+    heads: int = 8
+    dim_head: int = 64
+    mlp_dim: int = 1024
+    seq_len: int = 5000
+    k: int = 1000
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        for i in range(self.depth):
+            a = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            a = LinformerSelfAttention(
+                self.dim, self.seq_len, self.k, self.heads, self.dim_head,
+                self.dropout, name=f"attn_{i}")(a, mask, deterministic)
+            x = a + x
+            f = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            f = dense(self.mlp_dim, name=f"ff1_{i}")(f)
+            f = nn.gelu(f)
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            f = dense(self.dim, name=f"ff2_{i}")(f)
+            f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
+            x = f + x
+        return x

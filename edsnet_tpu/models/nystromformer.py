@@ -1,0 +1,141 @@
+"""Nystromformer attention backbone (the paper's headline encoder).
+
+Reference: `src/transformer/nystroformer.py:32-150` — landmark mean pooling,
+three softmax similarities, a 6-step Newton–Schulz pseudo-inverse of the
+(m x m) landmark kernel, and a depthwise conv residual over values.  Default
+config from the factory (`src/modules/models.py:135`): dim_head=64,
+num_landmarks=64, pinv_iterations=6, residual conv kernel 33, dropout 0.
+
+TPU notes: the whole block is dense matmul + tiny (64 x 64) serial matmuls —
+it fuses into one XLA program.  We adopt the reference's *masked* semantics
+(nystroformer.py:87-126) for padded buckets: q/k/v and landmark means are
+masked, and similarity logits are -inf at invalid (position, landmark)
+pairs.  The reference's internal front-padding (to a multiple of
+num_landmarks) is unnecessary when the bucket length is already a multiple
+of 64, which the data pipeline guarantees.
+"""
+from __future__ import annotations
+
+from math import ceil
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from edsnet_tpu.models.common import XAVIER2, BIAS01
+
+
+def moore_penrose_pinv(x, iters: int = 6):
+    """Newton–Schulz iterative pseudo-inverse. (nystroformer.py:13-28)"""
+    abs_x = jnp.abs(x)
+    col = jnp.sum(abs_x, axis=-1)
+    row = jnp.sum(abs_x, axis=-2)
+    z = jnp.swapaxes(x, -1, -2) / (jnp.max(col) * jnp.max(row))
+
+    eye = jnp.eye(x.shape[-1], dtype=x.dtype)
+
+    def body(z, _):
+        xz = x @ z
+        z = 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
+        return z, None
+
+    z, _ = jax.lax.scan(body, z, None, length=iters)
+    return z
+
+
+class NystromAttention(nn.Module):
+    dim: int
+    dim_head: int = 64
+    heads: int = 8
+    num_landmarks: int = 64
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_conv_kernel: int = 33
+    eps: float = 1e-8
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True):
+        b, n, _ = x.shape
+        h, m = self.heads, self.num_landmarks
+        inner = h * self.dim_head
+
+        # pad the front so n is a multiple of m (reference pads with zeros
+        # and masks; with bucketed inputs this is usually a no-op)
+        remainder = n % m
+        pad = (m - remainder) if remainder > 0 else 0
+        if pad:
+            x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
+            if mask is None:
+                mask = jnp.ones((b, n), bool)
+            mask = jnp.pad(mask, ((0, 0), (pad, 0)))
+        n_p = n + pad
+
+        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=XAVIER2,
+                       name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(b, n_p, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_first, (q, k, v))  # [B, H, Np, D]
+
+        if mask is not None:
+            mf = mask[:, None, :, None].astype(x.dtype)
+            q, k, v = q * mf, k * mf, v * mf
+
+        q = q * (self.dim_head ** -0.5)
+
+        # landmarks: mean over groups of l = Np/m consecutive positions
+        l = n_p // m
+        def landmarks(t):
+            return t.reshape(b, h, m, l, self.dim_head).sum(axis=3)
+
+        q_l, k_l = landmarks(q), landmarks(k)
+        if mask is None:
+            divisor = jnp.asarray(float(l), x.dtype)
+            lm_valid = None
+        else:
+            counts = mask.reshape(b, m, l).sum(axis=-1)  # [B, m]
+            divisor = (counts[:, None, :, None] + self.eps).astype(x.dtype)
+            lm_valid = counts > 0  # [B, m]
+        q_l = q_l / divisor
+        k_l = k_l / divisor
+
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,Np,m]
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)     # [B,H,m,Np]
+
+        if mask is not None:
+            neg = jnp.finfo(x.dtype).min
+            pm = mask[:, None, :, None]
+            lm = lm_valid[:, None, :, None]
+            sim1 = jnp.where(pm & lm.transpose(0, 1, 3, 2), sim1, neg)
+            sim2 = jnp.where(lm & lm.transpose(0, 1, 3, 2), sim2, neg)
+            sim3 = jnp.where(lm & pm.transpose(0, 1, 3, 2), sim3, neg)
+
+        attn1 = nn.softmax(sim1, axis=-1)
+        attn2 = nn.softmax(sim2, axis=-1)
+        attn3 = nn.softmax(sim3, axis=-1)
+        attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
+
+        out = (attn1 @ attn2_inv) @ (attn3 @ v)          # [B,H,Np,D]
+
+        if self.residual:
+            ksize = self.residual_conv_kernel
+            kernel = self.param("res_conv", XAVIER2, (h, 1, ksize, 1))
+            res = jax.lax.conv_general_dilated(
+                v, kernel,
+                window_strides=(1, 1),
+                padding=((ksize // 2, ksize // 2), (0, 0)),
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                feature_group_count=h)
+            out = out + res
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n_p, inner)
+        out = nn.Dense(self.dim, kernel_init=XAVIER2, bias_init=BIAS01,
+                       name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out[:, -n:]

@@ -1,0 +1,106 @@
+"""Anchor machinery for the anchor-based head.
+
+Reference: `src/anchor_based/anchor_helper.py`.  All functions are pure jnp
+and jittable; label generation is vectorized over (targets x anchors) instead
+of the reference's per-target python loop — with the reference's
+"later target overwrites earlier" loc-label semantics preserved
+(anchor_helper.py:40-45).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from edsnet_tpu.ops.bbox import iou_cw
+
+Array = jax.Array
+
+
+def get_anchors(seq_len: int, scales: Sequence[int]) -> Array:
+    """[N, S, 2] center-width anchors: (pos, scale). (anchor_helper.py:8-19)"""
+    pos = jnp.arange(seq_len, dtype=jnp.int32)
+    sc = jnp.asarray(list(scales), dtype=jnp.int32)
+    centers = jnp.broadcast_to(pos[:, None], (seq_len, len(sc)))
+    widths = jnp.broadcast_to(sc[None, :], (seq_len, len(sc)))
+    return jnp.stack([centers, widths], axis=-1)
+
+
+def bbox2offset(bboxes, anchors) -> Array:
+    """CW boxes -> offset labels. (anchor_helper.py:96-112)"""
+    bboxes = jnp.asarray(bboxes, jnp.float32)
+    anchors = jnp.asarray(anchors, jnp.float32)
+    oc = (bboxes[..., 0] - anchors[..., 0]) / anchors[..., 1]
+    ow = jnp.log(bboxes[..., 1] / anchors[..., 1])
+    return jnp.stack([oc, ow], axis=-1)
+
+
+def offset2bbox(offsets, anchors) -> Array:
+    """Predicted offsets -> CW boxes. (anchor_helper.py:74-93)"""
+    offsets = jnp.asarray(offsets, jnp.float32).reshape(-1, 2)
+    anchors = jnp.asarray(anchors, jnp.float32).reshape(-1, 2)
+    bc = offsets[:, 0] * anchors[:, 1] + anchors[:, 0]
+    bw = jnp.exp(offsets[:, 1]) * anchors[:, 1]
+    return jnp.stack([bc, bw], axis=-1)
+
+
+def get_pos_label(anchors, targets, iou_thresh: float,
+                  target_valid=None) -> Tuple[Array, Array]:
+    """Positive cls/loc labels. (anchor_helper.py:22-50)
+
+    :param anchors: [N, S, 2] CW anchors.
+    :param targets: [T, 2] CW target boxes (padded rows allowed with
+        ``target_valid`` mask).
+    :param iou_thresh: positive threshold (strictly greater).
+    :return: (cls_label [N, S] int32 0/1, loc_label [N, S, 2] float32).
+        For anchors positive to several targets, loc is the offset to the
+        *last* matching target (reference loop-order semantics).
+    """
+    anchors = jnp.asarray(anchors, jnp.float32)
+    n, s, _ = anchors.shape
+    flat_anchors = anchors.reshape(n * s, 2)
+    targets = jnp.asarray(targets, jnp.float32).reshape(-1, 2)
+    t = targets.shape[0]
+
+    iou = iou_cw(flat_anchors[None, :, :], targets[:, None, :])  # [T, A]
+    pos = iou > iou_thresh
+    if target_valid is not None:
+        pos = pos & jnp.asarray(target_valid, bool)[:, None]
+
+    cls_label = jnp.any(pos, axis=0).astype(jnp.int32)
+
+    # index of the last target matching each anchor
+    t_idx = jnp.arange(t)[:, None]
+    last_t = jnp.max(jnp.where(pos, t_idx, -1), axis=0)  # [A]
+    chosen = targets[jnp.clip(last_t, 0, max(t - 1, 0))]
+    offsets = bbox2offset(chosen, flat_anchors)
+    loc_label = jnp.where((last_t >= 0)[:, None], offsets, 0.0)
+
+    return cls_label.reshape(n, s), loc_label.reshape(n, s, 2)
+
+
+def get_neg_label(cls_label, num_neg, rng: jax.Array) -> Array:
+    """Random negative sampling, jittable. (anchor_helper.py:53-71)
+
+    Marks ``num_neg`` random anchors among the non-positive ones with -1.
+    ``num_neg`` may be a traced scalar (it is 2x the positive count in the
+    trainer), implemented as rank-of-random selection.
+    """
+    cls_label = jnp.asarray(cls_label, jnp.int32)
+    shape = cls_label.shape
+    flat = cls_label.reshape(-1)
+    flat = jnp.where(flat < 0, 0, flat)
+    eligible = flat == 0
+    u = jax.random.uniform(rng, flat.shape)
+    u = jnp.where(eligible, u, jnp.inf)
+    rank = jnp.argsort(jnp.argsort(u))  # rank of each entry in ascending order
+    chosen = eligible & (rank < num_neg)
+    out = jnp.where(chosen, -1, flat)
+    return out.reshape(shape)
+
+
+def anchor_scales_list(anchor_scales) -> List[int]:
+    if isinstance(anchor_scales, int):
+        return [anchor_scales]
+    return list(anchor_scales)

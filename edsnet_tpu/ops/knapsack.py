@@ -1,0 +1,111 @@
+"""Exact 0/1 knapsack.
+
+The reference delegates to ortools' C++ branch-and-bound solver
+(`src/helpers/vsumm_helper.py:26-45`).  Here:
+
+- ``knapsack``          host API: native C++ branch&bound if the extension is
+                        built, else a vectorized NumPy DP.  Exact either way
+                        (values/weights are ints, so DP == B&B optimum).
+- ``knapsack_jax``      jittable dense DP (lax.scan over items, capacity axis
+                        vectorized) for running shot selection on-device
+                        inside a jitted eval/train step.
+
+Both return the packed item indices (ascending), like the reference.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu.native import load as _native_load
+
+
+def _knapsack_numpy(values: np.ndarray, weights: np.ndarray,
+                    capacity: int) -> List[int]:
+    """Dense DP with backtracking. O(n * capacity) time, O(n*capacity) bits."""
+    n = len(values)
+    if n == 0 or capacity <= 0:
+        return []
+    cap = int(capacity)
+    # clamp weights>cap items out up-front to shrink nothing; DP handles them.
+    dp = np.zeros(cap + 1, dtype=np.int64)
+    take = np.zeros((n, cap + 1), dtype=bool)
+    for i in range(n):
+        w, v = int(weights[i]), int(values[i])
+        if w <= cap and v > 0:
+            cand = dp[: cap + 1 - w] + v
+            better = cand > dp[w:]
+            take[i, w:] = better
+            dp[w:] = np.where(better, cand, dp[w:])
+    # backtrack
+    packed: List[int] = []
+    c = cap
+    for i in range(n - 1, -1, -1):
+        if take[i, c]:
+            packed.append(i)
+            c -= int(weights[i])
+    packed.reverse()
+    return packed
+
+
+def knapsack(values: Iterable[int], weights: Iterable[int],
+             capacity: int) -> List[int]:
+    """Solve 0/1 knapsack exactly; returns packed item indices.
+
+    Host-side replacement for vsumm_helper.py:26-45 (ortools B&B).
+    """
+    values = np.asarray(list(values), dtype=np.int64)
+    weights = np.asarray(list(weights), dtype=np.int64)
+    capacity = int(capacity)
+    lib = _native_load()
+    if lib is not None:
+        return lib.knapsack(values, weights, capacity)
+    return _knapsack_numpy(values, weights, capacity)
+
+
+@partial(jax.jit, static_argnames=("max_capacity",))
+def knapsack_jax(values, weights, capacity, max_capacity: int):
+    """Jittable exact 0/1 knapsack via dense DP.
+
+    :param values: [N] int32 item values (padding items must have value 0).
+    :param weights: [N] int32 item weights (>=0; weight-0/value-0 padding ok).
+    :param capacity: scalar int32 runtime capacity (<= max_capacity).
+    :param max_capacity: static DP-table width.
+    :return: packed [N] bool mask of selected items.
+    """
+    values = jnp.asarray(values, jnp.int32)
+    weights = jnp.asarray(weights, jnp.int32)
+    capacity = jnp.asarray(capacity, jnp.int32)
+    n = values.shape[0]
+    cap_axis = jnp.arange(max_capacity + 1, dtype=jnp.int32)
+
+    def fwd(dp, iw):
+        v, w = iw
+        # dp'[c] = max(dp[c], dp[c-w] + v) for c >= w
+        shifted = jnp.where(cap_axis >= w,
+                            dp[jnp.maximum(cap_axis - w, 0)] + v,
+                            jnp.int32(-1))
+        usable = (w <= capacity) & (v > 0)
+        cand = jnp.where(usable, shifted, jnp.int32(-1))
+        took = cand > dp
+        return jnp.where(took, cand, dp), took
+
+    dp0 = jnp.where(cap_axis <= capacity, 0, -(10 ** 9)).astype(jnp.int32)
+    # capacities above the runtime capacity are poisoned so backtracking from
+    # `capacity` never routes through them.
+    dp_final, takes = jax.lax.scan(fwd, dp0, (values, weights))
+
+    def bwd(c, i):
+        # iterate items in reverse
+        j = n - 1 - i
+        t = takes[j, c]
+        sel = t
+        c = jnp.where(t, jnp.maximum(c - weights[j], 0), c)
+        return c, sel
+
+    _, sel_rev = jax.lax.scan(bwd, capacity, jnp.arange(n))
+    return jnp.flip(sel_rev)

@@ -1,0 +1,234 @@
+"""KTS kernel temporal segmentation (change-point detection).
+
+Reference: `src/kts/cpd_nonlin.py`, `src/kts/cpd_auto.py`.
+
+Host path (``cpd_nonlin`` / ``cpd_auto``): float64 NumPy scatter matrix +
+C++ DP (native lib) with a vectorized NumPy fallback.  ``cpd_auto`` runs the
+DP **once** at max m with backtracking and reuses the table for the
+model-selection step (the reference runs the full DP twice —
+`cpd_auto.py:19,31`; DP rows I[k] depend only on I[k-1], so one pass at max m
+yields identical results for every smaller m).
+
+Device path (``calc_scatters_jax`` / ``kts_dp_jax``): jittable float32
+formulation with a lax.scan over k and a vectorized masked min over split
+positions, for on-device segmentation at fixed (bucketed) lengths.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu.native import load as _native_load
+
+_INF64 = 1e101
+_INF32 = 1e30  # float32-safe sentinel (scatter magnitudes are <= n * max|K|)
+
+
+# ---------------------------------------------------------------------------
+# scatter matrix
+# ---------------------------------------------------------------------------
+
+def calc_scatters(K: np.ndarray) -> np.ndarray:
+    """scatters[i, j] = within-segment scatter of frames [i..j]. (cpd_nonlin.py:4-26)"""
+    K = np.asarray(K, dtype=np.float64)
+    n = K.shape[0]
+    K1 = np.concatenate([[0.0], np.cumsum(np.diag(K))])
+    K2 = np.zeros((n + 1, n + 1))
+    K2[1:, 1:] = np.cumsum(np.cumsum(K, 0), 1)
+    diagK2 = np.diag(K2)
+
+    i = np.arange(n).reshape((-1, 1))
+    j = np.arange(n).reshape((1, -1))
+    denom = (j - i + 1).astype(np.float64) + (j == i - 1).astype(np.float64)
+    scatters = (K1[1:].reshape((1, -1)) - K1[:-1].reshape((-1, 1))
+                - (diagK2[1:].reshape((1, -1)) + diagK2[:-1].reshape((-1, 1))
+                   - K2[1:, :-1].T - K2[:-1, 1:]) / denom)
+    scatters[j < i] = 0
+    return scatters
+
+
+def calc_scatters_jax(K) -> jax.Array:
+    """Jittable scatter matrix (float32)."""
+    K = jnp.asarray(K, jnp.float32)
+    n = K.shape[0]
+    K1 = jnp.concatenate([jnp.zeros((1,), K.dtype),
+                          jnp.cumsum(jnp.diagonal(K))])
+    K2 = jnp.zeros((n + 1, n + 1), K.dtype)
+    K2 = K2.at[1:, 1:].set(jnp.cumsum(jnp.cumsum(K, 0), 1))
+    diagK2 = jnp.diagonal(K2)
+
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    denom = (j - i + 1).astype(K.dtype) + (j == i - 1).astype(K.dtype)
+    scatters = (K1[1:][None, :] - K1[:-1][:, None]
+                - (diagK2[1:][None, :] + diagK2[:-1][:, None]
+                   - K2[1:, :-1].T - K2[:-1, 1:]) / denom)
+    return jnp.where(j < i, 0.0, scatters)
+
+
+# ---------------------------------------------------------------------------
+# host DP
+# ---------------------------------------------------------------------------
+
+def _kts_dp_numpy(J: np.ndarray, m: int, lmin: int, lmax: int,
+                  backtrack: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized fallback for the C++ DP. Returns (scores[m+1], path)."""
+    n = J.shape[0]
+    I = np.full((m + 1, n + 1), _INF64)
+    upto = min(lmax, n + 1)
+    if upto > lmin:
+        I[0, lmin:upto] = J[0, lmin - 1:upto - 1]
+    path = np.zeros((m + 1, n + 1), dtype=np.int32)
+
+    t = np.arange(n + 1)[:, None]
+    l = np.arange(n + 1)[None, :]
+    for k in range(1, m + 1):
+        tmin = np.maximum(k * lmin, l - lmax)
+        tmax = l - lmin + 1
+        valid = (t >= tmin) & (t < tmax) & (l >= (k + 1) * lmin) & (t < n) & (l >= 1)
+        Jmat = J[np.clip(t, 0, n - 1), np.clip(l - 1, 0, n - 1)]
+        C = np.where(valid, Jmat + I[k - 1][:n + 1, None], _INF64)
+        I[k] = C.min(axis=0)
+        if backtrack:
+            path[k] = C.argmin(axis=0)
+    return I[:, n].copy(), path
+
+
+def _backtrack(path: np.ndarray, m: int, n: int) -> np.ndarray:
+    cps = np.zeros(m, dtype=int)
+    cur = n
+    for k in range(m, 0, -1):
+        cps[k - 1] = path[k, cur]
+        cur = cps[k - 1]
+    return cps
+
+
+def cpd_nonlin(K: np.ndarray, ncp: int, lmin: int = 1, lmax: int = 100000,
+               backtrack: bool = True, verbose: bool = False,
+               out_scatters=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Change-point detection DP. Mirrors cpd_nonlin.py:29-92."""
+    m = int(ncp)
+    n, n1 = K.shape
+    assert n == n1, "Kernel matrix awaited."
+    assert (m + 1) * lmin <= n <= (m + 1) * lmax
+    assert 1 <= lmin <= lmax
+
+    J = calc_scatters(K)
+    if out_scatters is not None:
+        out_scatters[0] = J
+
+    lib = _native_load()
+    if lib is not None:
+        scores, path = lib.kts_dp(J, m, lmin, min(lmax, n + 1), backtrack)
+    else:
+        scores, path = _kts_dp_numpy(J, m, lmin, lmax, backtrack)
+
+    cps = _backtrack(path, m, n) if backtrack else np.zeros(m, dtype=int)
+    scores = scores.copy()
+    scores[scores > 1e99] = np.inf
+    return cps, scores
+
+
+def cpd_auto(K: np.ndarray, ncp: int, vmax: float, desc_rate: int = 1,
+             **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+    """Automatic model selection over #change-points. Mirrors cpd_auto.py:6-33.
+
+    Single-DP optimization: one backtrackable pass at max m serves both the
+    scoring sweep and the final backtrack (identical results, ~2x faster).
+    """
+    m = int(ncp)
+    n = K.shape[0]
+    lmin = kwargs.get("lmin", 1)
+    lmax = kwargs.get("lmax", 100000)
+    assert (m + 1) * lmin <= n <= (m + 1) * lmax
+
+    J = calc_scatters(K)
+    lib = _native_load()
+    if lib is not None:
+        scores, path = lib.kts_dp(J, m, lmin, min(lmax, n + 1), True)
+    else:
+        scores, path = _kts_dp_numpy(J, m, lmin, lmax, True)
+
+    N2 = n * desc_rate
+    penalties = np.zeros(m + 1)
+    ncps = np.arange(1, m + 1)
+    if m >= 1:
+        penalties[1:] = (vmax * ncps / (2.0 * N2)) * (np.log(float(N2) / ncps) + 1)
+
+    scores_inf = scores.copy()
+    scores_inf[scores_inf > 1e99] = np.inf
+    costs = scores_inf / float(n) + penalties
+    m_best = int(np.argmin(costs))
+
+    cps = _backtrack(path, m_best, n)
+    scores2 = scores_inf[:m_best + 1].copy()
+    return cps, scores2
+
+
+# ---------------------------------------------------------------------------
+# device DP
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("m_max", "lmin", "lmax"))
+def kts_dp_jax(J, m_max: int, lmin: int = 1, lmax: Optional[int] = None):
+    """Jittable KTS DP at static max m.
+
+    :param J: [n, n] scatter matrix (float32).
+    :param m_max: static maximum number of change points.
+    :return: (scores [m_max+1], path [m_max+1, n+1] int32). scores[k] is the
+        optimal objective with k change points; sentinel 1e30 where infeasible.
+    """
+    J = jnp.asarray(J, jnp.float32)
+    n = J.shape[0]
+    if lmax is None or lmax > n + 1:
+        lmax = n + 1
+
+    l_ax = jnp.arange(n + 1)
+    I0 = jnp.where((l_ax >= lmin) & (l_ax < lmax),
+                   J[0, jnp.clip(l_ax - 1, 0, n - 1)], _INF32)
+    t = jnp.arange(n + 1)[:, None]
+    l = jnp.arange(n + 1)[None, :]
+    Jmat = J[jnp.clip(t, 0, n - 1), jnp.clip(l - 1, 0, n - 1)]
+
+    def step(I_prev, k):
+        tmin = jnp.maximum(k * lmin, l - lmax)
+        tmax = l - lmin + 1
+        valid = (t >= tmin) & (t < tmax) & (l >= (k + 1) * lmin) \
+            & (t < n) & (l >= 1)
+        C = jnp.where(valid, Jmat + I_prev[:, None], _INF32)
+        I_k = jnp.min(C, axis=0)
+        p_k = jnp.argmin(C, axis=0).astype(jnp.int32)
+        return I_k, (I_k, p_k)
+
+    _, (I_rows, p_rows) = jax.lax.scan(step, I0, jnp.arange(1, m_max + 1))
+    I_full = jnp.concatenate([I0[None], I_rows], axis=0)
+    p_full = jnp.concatenate(
+        [jnp.zeros((1, n + 1), jnp.int32), p_rows], axis=0)
+    return I_full[:, n], p_full
+
+
+@partial(jax.jit, static_argnames=("m_max", "n"))
+def kts_backtrack_jax(path, m_best, m_max: int, n: int):
+    """Jittable backtrack: change points for a (dynamic) m_best <= m_max.
+
+    :return: (cps [m_max] int32, valid [m_max] bool) — cps[:m_best] are real.
+    """
+    def body(cur, i):
+        k = m_best - i  # k runs m_best..1 over the first m_best iterations
+        active = k >= 1
+        cp = jnp.where(active, path[jnp.maximum(k, 0), cur], 0)
+        cur = jnp.where(active, cp, cur)
+        return cur, cp
+
+    _, cps_rev = jax.lax.scan(body, jnp.asarray(n, jnp.int32),
+                              jnp.arange(m_max))
+    # cps_rev[i] corresponds to k = m_best - i -> cps[k-1]
+    idx = m_best - 1 - jnp.arange(m_max)
+    cps = jnp.zeros((m_max,), jnp.int32).at[jnp.where(
+        idx >= 0, idx, m_max)].set(cps_rev, mode="drop")
+    valid = jnp.arange(m_max) < m_best
+    return cps, valid

@@ -1,0 +1,205 @@
+"""Keyshot summary assembly, F1, diversity.
+
+Reference: `src/helpers/vsumm_helper.py`.  Host functions mirror the NumPy +
+ortools semantics exactly (including the `int(1000 * mean)` shot-score
+quantization at vsumm_helper.py:86); `*_jax` variants are jittable for
+on-device eval at static (bucketed) frame counts.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu.ops.knapsack import knapsack, knapsack_jax
+
+SAMPLE_RATE = 15
+
+
+def f1_score(pred: np.ndarray, test: np.ndarray) -> float:
+    """Binary F1. (vsumm_helper.py:7-23)"""
+    assert pred.shape == test.shape
+    pred = np.asarray(pred, dtype=bool)
+    test = np.asarray(test, dtype=bool)
+    overlap = (pred & test).sum()
+    if overlap == 0:
+        return 0.0
+    precision = overlap / pred.sum()
+    recall = overlap / test.sum()
+    return float(2 * precision * recall / (precision + recall))
+
+
+def f1_score_jax(pred, test):
+    """Jittable binary F1 over trailing axis; supports leading batch dims."""
+    pred = jnp.asarray(pred, bool)
+    test = jnp.asarray(test, bool)
+    overlap = jnp.sum(pred & test, axis=-1).astype(jnp.float32)
+    p = overlap / jnp.maximum(jnp.sum(pred, axis=-1), 1)
+    r = overlap / jnp.maximum(jnp.sum(test, axis=-1), 1)
+    f1 = 2 * p * r / jnp.maximum(p + r, 1e-12)
+    return jnp.where(overlap > 0, f1, 0.0)
+
+
+def downsample_summ(summ: np.ndarray) -> np.ndarray:
+    """Down-sample the summary by 15x. (vsumm_helper.py:48-50)"""
+    return summ[::SAMPLE_RATE]
+
+
+def upsample_scores(pred: np.ndarray, picks: np.ndarray,
+                    n_frames: int) -> np.ndarray:
+    """Piecewise-constant upsample of per-pick scores to per-frame scores."""
+    picks = np.asarray(picks, dtype=np.int32)
+    frame_scores = np.zeros(n_frames, dtype=np.float32)
+    for i in range(len(picks)):
+        pos_lo = picks[i]
+        pos_hi = picks[i + 1] if i + 1 < len(picks) else n_frames
+        frame_scores[pos_lo:pos_hi] = pred[i]
+    return frame_scores
+
+
+def get_keyshot_summ(pred: np.ndarray, cps: np.ndarray, n_frames: int,
+                     nfps: np.ndarray, picks: np.ndarray,
+                     proportion: float = 0.15) -> np.ndarray:
+    """Keyshot binary summary via per-shot means + knapsack at 15% budget.
+
+    Mirrors vsumm_helper.py:53-98 including NaN-propagation behavior: a NaN
+    shot mean raises ValueError like `int(nan)` does in the reference.
+    """
+    assert pred.shape == picks.shape
+    n_frames = int(n_frames)
+    frame_scores = upsample_scores(pred, picks, n_frames)
+
+    seg_scores = np.zeros(len(cps), dtype=np.int32)
+    for seg_idx, (first, last) in enumerate(cps):
+        scores = frame_scores[first:last + 1]
+        mean = np.float32(1000) * scores.mean()  # float32 like the reference
+        if np.isnan(mean):
+            raise ValueError("cannot convert float NaN to integer")
+        seg_scores[seg_idx] = int(mean)
+
+    limits = int(n_frames * proportion)
+    packed = knapsack(seg_scores, nfps, limits)
+
+    summary = np.zeros(n_frames, dtype=bool)
+    for seg_idx in packed:
+        first, last = cps[seg_idx]
+        summary[first:last + 1] = True
+    return summary
+
+
+def bbox2summary(seq_len: int, pred_cls: np.ndarray, pred_bboxes: np.ndarray,
+                 change_points: np.ndarray, n_frames: int, nfps: np.ndarray,
+                 picks: np.ndarray) -> np.ndarray:
+    """Max-score rasterization of boxes -> keyshot summary. (vsumm_helper.py:101-116)"""
+    score = np.zeros(seq_len, dtype=np.float32)
+    for bbox_idx in range(len(pred_bboxes)):
+        lo, hi = pred_bboxes[bbox_idx, 0], pred_bboxes[bbox_idx, 1]
+        score[lo:hi] = np.maximum(score[lo:hi], [pred_cls[bbox_idx]])
+    return get_keyshot_summ(score, change_points, n_frames, nfps, picks)
+
+
+def get_summ_diversity(pred_summ: np.ndarray,
+                       features: np.ndarray) -> float:
+    """Pairwise-similarity diversity of selected frames. (vsumm_helper.py:119-140)"""
+    assert len(pred_summ) == len(features)
+    pred_summ = np.asarray(pred_summ, dtype=bool)
+    pos_features = features[pred_summ]
+    k = len(pos_features)
+    if k < 2:
+        return 0.0
+    gram = pos_features @ pos_features.T
+    diversity = gram.sum() - np.trace(gram)
+    return float(diversity / (k * (k - 1)))
+
+
+def get_summ_f1score(pred_summ: np.ndarray, test_summ: np.ndarray,
+                     eval_metric: str = "avg") -> float:
+    """F1 vs U user summaries; 'avg' (TVSum) or 'max' (SumMe). (vsumm_helper.py:143-172)"""
+    pred_summ = np.asarray(pred_summ, dtype=bool)
+    test_summ = np.asarray(test_summ, dtype=bool)
+    _, n_frames = test_summ.shape
+
+    if pred_summ.size > n_frames:
+        pred_summ = pred_summ[:n_frames]
+    elif pred_summ.size < n_frames:
+        pred_summ = np.pad(pred_summ, (0, n_frames - pred_summ.size))
+
+    f1s = [f1_score(user_summ, pred_summ) for user_summ in test_summ]
+    if eval_metric == "avg":
+        return float(np.mean(f1s))
+    if eval_metric == "max":
+        return float(np.max(f1s))
+    raise ValueError(f"Invalid eval metric {eval_metric}")
+
+
+# ---------------------------------------------------------------------------
+# jittable device path
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("seq_len",))
+def rasterize_boxes_jax(seq_len: int, pred_cls, pred_bboxes, box_valid):
+    """Jittable max-score rasterization: [K] cls x [K,2] int LR -> [seq_len]."""
+    pred_cls = jnp.asarray(pred_cls, jnp.float32)
+    boxes = jnp.asarray(pred_bboxes, jnp.int32)
+    pos = jnp.arange(seq_len)[None, :]
+    inside = (pos >= boxes[:, :1]) & (pos < boxes[:, 1:2])
+    if box_valid is not None:
+        inside = inside & jnp.asarray(box_valid, bool)[:, None]
+    contrib = jnp.where(inside, pred_cls[:, None], 0.0)
+    return jnp.max(contrib, axis=0, initial=0.0)
+
+
+@partial(jax.jit, static_argnames=("max_frames", "proportion"))
+def keyshot_summ_jax(pred, picks, cps, nfps, seg_valid, n_frames,
+                     max_frames: int, proportion: float = 0.15):
+    """Jittable keyshot summary at a static frame bucket.
+
+    :param pred: [N] scores at pick positions (padded ok; masked by picks).
+    :param picks: [N] int frame positions of picks (padding picks must repeat
+        the last valid pick or point past n_frames).
+    :param cps: [S, 2] int change-point segments (first, last) inclusive.
+    :param nfps: [S] frames per segment.
+    :param seg_valid: [S] bool segment mask.
+    :param n_frames: scalar int actual frame count (<= max_frames).
+    :param max_frames: static frame bucket.
+    :return: [max_frames] bool summary (frames >= n_frames are False).
+    """
+    pred = jnp.asarray(pred, jnp.float32)
+    picks = jnp.asarray(picks, jnp.int32)
+    cps = jnp.asarray(cps, jnp.int32)
+    nfps = jnp.asarray(nfps, jnp.int32)
+    n_frames = jnp.asarray(n_frames, jnp.int32)
+
+    frames = jnp.arange(max_frames, dtype=jnp.int32)
+    # frame f takes the score of the last pick <= f
+    pick_idx = jnp.searchsorted(picks, frames, side="right") - 1
+    frame_scores = pred[jnp.clip(pick_idx, 0, pred.shape[0] - 1)]
+    frame_scores = jnp.where(frames < n_frames, frame_scores, 0.0)
+
+    # per-segment mean via prefix sums over [0, max_frames]
+    csum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            jnp.cumsum(frame_scores)])
+    first, last = cps[:, 0], cps[:, 1]
+    seg_sum = csum[jnp.clip(last + 1, 0, max_frames)] - csum[jnp.clip(first, 0, max_frames)]
+    seg_len = jnp.maximum(last + 1 - first, 1).astype(jnp.float32)
+    seg_scores = (1000.0 * seg_sum / seg_len).astype(jnp.int32)
+    seg_scores = jnp.where(seg_valid, jnp.maximum(seg_scores, 0), 0)
+
+    limits = (n_frames.astype(jnp.float32) * proportion).astype(jnp.int32)
+    weights = jnp.where(seg_valid, nfps, 0)
+    packed = knapsack_jax(seg_scores, weights, limits,
+                          max_capacity=int(max_frames * proportion) + 1)
+
+    inside = (frames[None, :] >= first[:, None]) & \
+             (frames[None, :] <= last[:, None])
+    summary = jnp.any(inside & (packed & seg_valid)[:, None], axis=0)
+    return summary & (frames < n_frames)
+
+
+def knapsack_list(values: Iterable[int], weights: Iterable[int],
+                  capacity: int) -> List[int]:
+    """Alias kept for API parity with vsumm_helper.knapsack."""
+    return knapsack(values, weights, capacity)

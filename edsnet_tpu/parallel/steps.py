@@ -1,0 +1,123 @@
+"""Jitted train / eval step functions (single XLA program each).
+
+The reference's per-video step crosses host<->device several times (label
+generation on host, forward/loss on device, `.item()` syncs —
+`src/anchor_based/train.py:77-131`).  Here the whole step — on-device
+negative sampling, forward, masked losses, grads, Adam update — is one
+compiled program over a padded batch of videos.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from edsnet_tpu.ops import losses as L
+
+
+class TrainState(train_state.TrainState):
+    constants: Any = None  # non-trainable collections (e.g. performer RFs)
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) semantics: L2 added to the grad
+    *before* the Adam moments (anchor_based/train.py:54-55)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+def _sample_marks(eligible, num, rng):
+    """Mark `num` random entries among `eligible` (rank-of-random).
+
+    Device-side equivalent of anchor_helper.get_neg_label's shuffle
+    (anchor_helper.py:53-71); `num` may be traced.
+    """
+    shape = eligible.shape
+    flat = eligible.reshape(-1)
+    u = jax.random.uniform(rng, flat.shape)
+    u = jnp.where(flat, u, jnp.inf)
+    rank = jnp.argsort(jnp.argsort(u))
+    return (flat & (rank < num)).reshape(shape)
+
+
+def build_ab_cls_labels(batch: Dict, rng, neg_ratio: float, inc_ratio: float):
+    """Per-video random negatives/incompletes -> final -1/0/1 labels."""
+    b = batch["cls_pos"].shape[0]
+    neg_rng, inc_rng = jax.random.split(rng)
+    neg_rngs = jax.random.split(neg_rng, b)
+    inc_rngs = jax.random.split(inc_rng, b)
+    num_pos = batch["num_pos"]
+    num_neg = (neg_ratio * num_pos).astype(jnp.int32)
+    num_inc = (inc_ratio * num_pos).astype(jnp.int32)
+
+    neg = jax.vmap(_sample_marks)(batch["neg_eligible"], num_neg, neg_rngs)
+    inc = jax.vmap(_sample_marks)(batch["inc_eligible"], num_inc, inc_rngs)
+    return jnp.where(neg | inc, -1, batch["cls_pos"])
+
+
+@partial(jax.jit, static_argnames=("lambda_reg", "neg_ratio", "inc_ratio"),
+         donate_argnums=(0,))
+def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
+                  neg_ratio: float, inc_ratio: float):
+    """One anchor-based step over a padded batch. (anchor_based/train.py:77-131)"""
+    drop_rng, label_rng = jax.random.split(rng)
+    cls_label = build_ab_cls_labels(batch, label_rng, neg_ratio, inc_ratio)
+    video_valid = batch["video_valid"] & (batch["num_pos"] > 0)
+
+    def loss_fn(params):
+        pred_cls, pred_loc = state.apply_fn(
+            {"params": params, **(state.constants or {})},
+            batch["seq"], batch["mask"], deterministic=False,
+            rngs={"dropout": drop_rng})
+        loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"], cls_label)
+        cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
+        per_video = cls + lambda_reg * loc
+        w = video_valid.astype(jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
+        loss = jnp.sum(per_video * w) / denom
+        return loss, (jnp.sum(cls * w) / denom, jnp.sum(loc * w) / denom)
+
+    (loss, (cls_loss, loc_loss)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    metrics = {"loss": loss, "cls_loss": cls_loss, "loc_loss": loc_loss}
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("lambda_reg", "lambda_ctr", "cls_kind",
+                                   "reg_kind"), donate_argnums=(0,))
+def af_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
+                  lambda_ctr: float, cls_kind: str, reg_kind: str):
+    """One anchor-free step over a padded batch. (anchor_free/train.py:55-88)"""
+    video_valid = batch["video_valid"]
+
+    def loss_fn(params):
+        pred_cls, pred_loc, pred_ctr = state.apply_fn(
+            {"params": params, **(state.constants or {})},
+            batch["seq"], batch["mask"], deterministic=False,
+            rngs={"dropout": rng})
+        cls = jax.vmap(lambda p, t, m: L.af_cls_loss(p, t, cls_kind, m))(
+            pred_cls, batch["target"], batch["mask"])
+        loc = jax.vmap(lambda p, t, c: L.af_loc_loss(p, t, c, reg_kind))(
+            pred_loc, batch["af_loc"], batch["target"])
+        ctr = jax.vmap(L.af_ctr_loss)(pred_ctr, batch["af_ctr"],
+                                      batch["target"])
+        per_video = cls + lambda_reg * loc + lambda_ctr * ctr
+        w = video_valid.astype(jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
+        loss = jnp.sum(per_video * w) / denom
+        return loss, (jnp.sum(cls * w) / denom, jnp.sum(loc * w) / denom,
+                      jnp.sum(ctr * w) / denom)
+
+    (loss, (cls_loss, loc_loss, ctr_loss)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    metrics = {"loss": loss, "cls_loss": cls_loss, "loc_loss": loc_loss,
+               "ctr_loss": ctr_loss}
+    return state, metrics

@@ -1,0 +1,138 @@
+"""Training loops (anchor-based + anchor-free), data-parallel over a mesh.
+
+Reference: `src/anchor_based/train.py`, `src/anchor_free/train.py`.
+Differences by design:
+- per-video labels are precomputed once (epoch-invariant in the reference
+  but regenerated every epoch there — see data/batching.py);
+- the step is a single jitted program over a padded batch of videos sharded
+  across the ``('data',)`` mesh (batch_size=1 reproduces the reference's
+  per-video optimizer stepping);
+- eval each epoch is jitted per length bucket; best checkpoint saved with
+  the reference's path contract.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu.data import batching
+from edsnet_tpu.data.dataset import AverageMeter, VideoDataset
+from edsnet_tpu.evaluate import evaluate
+from edsnet_tpu.models.model_zoo import get_model
+from edsnet_tpu.parallel import make_mesh, shard_batch
+from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
+                                       af_train_step, make_optimizer)
+from edsnet_tpu.utils import checkpoint as ckpt_lib
+
+logger = logging.getLogger()
+
+
+def _init_state(model, args, sample_batch) -> TrainState:
+    rngs = {"params": jax.random.PRNGKey(args.seed),
+            "dropout": jax.random.PRNGKey(args.seed + 1)}
+    variables = model.init(rngs, jnp.asarray(sample_batch["seq"]),
+                           jnp.asarray(sample_batch["mask"]))
+    params = variables["params"]
+    constants = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(args.lr, args.weight_decay)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                             constants=constants)
+
+
+def _array_batch(batch):
+    return {k: v for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
+    """Train one split; returns (max_val_fscore, f1_list, epoch_list).
+
+    Signature contract matches the reference trainers
+    (anchor_based/train.py:27, anchor_free/train.py:15).
+    """
+    is_ab = args.model == "anchor-based"
+    model = get_model(args.model, model_depth=args.model_depth, **{
+        k: v for k, v in vars(args).items() if k != "model_depth"})
+
+    train_set = VideoDataset(split["train_keys"], args.data_root)
+    items = batching.prepare_items(
+        train_set, args.model, anchor_scales=args.anchor_scales,
+        pos_iou=args.pos_iou_thresh, neg_iou=args.neg_iou_thresh,
+        inc_iou=args.incomplete_iou_thresh)
+    skipped = len(train_set) - len(items)
+    if skipped:
+        logger.info(f"skipped {skipped} videos (NaN gtscore / empty target)")
+
+    val_set = VideoDataset(split["test_keys"], args.data_root)
+    val_records = [val_set[i] for i in range(len(val_set))]
+
+    mesh = make_mesh(args.num_devices)
+    n_dev = mesh.devices.size
+    rng = np.random.RandomState(args.seed)
+    step_rng = jax.random.PRNGKey(args.seed + 2)
+
+    first_batch = next(batching.batch_items(
+        items, args.batch_size, args.bucket_size, shuffle=False,
+        pad_batch_to=n_dev))
+    state = _init_state(model, args, first_batch)
+
+    max_val_fscore = -1.0
+    epoch_list: List[int] = []
+    f1_list: List[float] = []
+    time_list: List[float] = []
+
+    for epoch in range(args.max_epoch):
+        start = time.time()
+        stats = AverageMeter("loss", "cls_loss", "loc_loss", "ctr_loss")
+
+        for batch in batching.batch_items(items, args.batch_size,
+                                          args.bucket_size, shuffle=True,
+                                          rng=rng, pad_batch_to=n_dev):
+            step_rng, sub = jax.random.split(step_rng)
+            dev_batch = shard_batch(_array_batch(batch), mesh)
+            if is_ab:
+                state, metrics = ab_train_step(
+                    state, dev_batch, sub, lambda_reg=args.lambda_reg,
+                    neg_ratio=args.neg_sample_ratio,
+                    inc_ratio=args.incomplete_sample_ratio)
+            else:
+                state, metrics = af_train_step(
+                    state, dev_batch, sub, lambda_reg=args.lambda_reg,
+                    lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
+                    reg_kind=args.reg_loss)
+            stats.update(**{k: float(v) for k, v in metrics.items()})
+
+        time_list.append(time.time() - start)
+
+        variables = {"params": state.params, **(state.constants or {})}
+        val_fscore, _ = evaluate(model, variables, val_records,
+                                 args.nms_thresh,
+                                 batch_size=max(args.batch_size, 1),
+                                 bucket_size=args.bucket_size)
+        f1_list.append(val_fscore)
+        epoch_list.append(epoch)
+
+        if max_val_fscore < val_fscore:
+            max_val_fscore = val_fscore
+            ckpt_lib.save_checkpoint(variables, save_path)
+
+        log_every = 30 if is_ab else 20
+        if epoch % log_every == 0:
+            logger.info(f"Epoch: {epoch}/{args.max_epoch} "
+                        f"Loss: {stats.cls_loss:.4f}/{stats.loc_loss:.4f}"
+                        f"/{stats.loss:.4f} "
+                        f"F-score cur/max: {val_fscore:.4f}/"
+                        f"{max_val_fscore:.4f} "
+                        f"Time: {time_list[-1]:.2f}s")
+
+    if time_list:
+        t = np.asarray(time_list)
+        logger.info(f"avg time taken: {t.mean():.3f} "
+                    f"max time taken: {t.max():.3f} "
+                    f"min time taken: {t.min():.3f}")
+    return max_val_fscore, f1_list, epoch_list

@@ -1,0 +1,124 @@
+"""Model shape smoke tests + masked-batch parity.
+
+Extends the reference tests/modules/test_models.py (tiny random sequence
+through both heads, shape assertions) across the full backbone zoo, and adds
+the TPU-specific invariant the reference never needed: a padded, masked
+bucket must reproduce the unpadded forward at every real position (exact for
+position-independent mixers; spectral mixers are length-dependent by design
+and excluded).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edsnet_tpu.models.base import BASE_MODELS, build_base_model
+from edsnet_tpu.models.model_zoo import get_model
+
+FEAT = 64
+HEADS = 4
+
+
+def _init_and_run(model, *args, **kwargs):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, *args, **kwargs)
+    out = model.apply(variables, *args, **kwargs)
+    return variables, out
+
+
+@pytest.mark.parametrize("base", BASE_MODELS)
+def test_base_model_shapes(base):
+    model = build_base_model(base, FEAT, HEADS)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, FEAT))
+    _, out = _init_and_run(model, x)
+    assert out.shape == (2, 32, FEAT)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+MASK_EXACT = ("linear", "lstm", "bilstm", "attention", "performer",
+              "linformer", "gcn")
+
+
+@pytest.mark.parametrize("base", MASK_EXACT)
+def test_masked_padding_parity(base):
+    """Padded+masked forward == unpadded forward at real positions."""
+    n_real, n_bucket = 24, 32
+    model = build_base_model(base, FEAT, HEADS)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, n_real, FEAT))
+    variables, out_exact = _init_and_run(model, x)
+
+    x_pad = jnp.pad(x, ((0, 0), (0, n_bucket - n_real), (0, 0)))
+    mask = jnp.arange(n_bucket)[None, :] < n_real
+    out_pad = model.apply(variables, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(out_pad)[0, :n_real],
+                               np.asarray(out_exact)[0], rtol=2e-4, atol=2e-4)
+
+
+def _head_kwargs(**over):
+    kw = dict(base_model="attention", num_feature=FEAT, num_hidden=16,
+              anchor_scales=[4, 8], num_head=HEADS, fc_depth=2,
+              attention_depth=2, encoder_type="classic",
+              orientation="paper", pooling_type="roi")
+    kw.update(over)
+    return kw
+
+
+@pytest.mark.parametrize("depth", ["shallow", "deep",
+                                   "local-global-attention", "original"])
+def test_anchor_based_heads(depth):
+    model = get_model("anchor-based", model_depth=depth, **_head_kwargs())
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, FEAT))
+    variables, (cls, loc) = _init_and_run(model, x)
+    assert cls.shape == (1, 30, 2)
+    assert loc.shape == (1, 30, 2, 2)
+    pc, boxes = model.apply(variables, x, method="predict")
+    assert pc.shape == (1, 60)
+    assert boxes.shape == (1, 60, 2)
+
+
+@pytest.mark.parametrize("pooling", ["fft", "dwt", "flat-pooling"])
+def test_anchor_based_poolings(pooling):
+    model = get_model("anchor-based", model_depth="shallow",
+                      **_head_kwargs(anchor_scales=[8], pooling_type=pooling))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, FEAT))
+    _, (cls, loc) = _init_and_run(model, x)
+    assert cls.shape == (1, 30, 1)
+    assert loc.shape == (1, 30, 1, 2)
+
+
+@pytest.mark.parametrize("depth", ["shallow", "deep",
+                                   "local-global-attention", "original"])
+def test_anchor_free_heads(depth):
+    model = get_model("anchor-free", model_depth=depth, **_head_kwargs())
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, FEAT))
+    variables, (cls, loc, ctr) = _init_and_run(model, x)
+    assert cls.shape == (1, 30)
+    assert loc.shape == (1, 30, 2)
+    assert ctr.shape == (1, 30)
+    assert (np.asarray(loc) > 0).all()  # exp-activated extents
+    pc, boxes = model.apply(variables, x, method="predict")
+    assert pc.shape == (1, 30)
+    assert boxes.shape == (1, 30, 2)
+    assert np.asarray(pc).max() <= 1.0 + 1e-5
+
+
+def test_cross_attention_motion_head():
+    model = get_model("anchor-based", model_depth="cross-attention",
+                      **_head_kwargs(num_feature=1024, anchor_scales=[4]))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 1024))
+    motion = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 1024))
+    variables, (cls, loc) = _init_and_run(model, x, motion)
+    assert cls.shape == (1, 16, 1)
+    assert loc.shape == (1, 16, 1, 2)
+
+
+def test_dropout_stochastic_in_train_mode():
+    model = get_model("anchor-based", model_depth="shallow", **_head_kwargs())
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, FEAT))
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x)
+    out1, _ = model.apply(variables, x, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+    out2, _ = model.apply(variables, x, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))

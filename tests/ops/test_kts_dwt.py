@@ -1,0 +1,140 @@
+"""KTS + DWT spec: DP vs direct reference transcription; haar vs known values."""
+import numpy as np
+
+from edsnet_tpu.ops import dwt, kts
+
+
+def _reference_cpd_nonlin(K, ncp, lmin=1, lmax=100000, backtrack=True):
+    """Direct transcription of reference src/kts/cpd_nonlin.py (spec oracle)."""
+    m = int(ncp)
+    n, _ = K.shape
+    J = kts.calc_scatters(K)
+    I = 1e101 * np.ones((m + 1, n + 1))
+    I[0, lmin:lmax] = J[0, lmin - 1:lmax - 1]
+    p = np.zeros((m + 1, n + 1), dtype=int)
+    for k in range(1, m + 1):
+        for l in range((k + 1) * lmin, n + 1):
+            tmin = max(k * lmin, l - lmax)
+            tmax = l - lmin + 1
+            c = J[tmin:tmax, l - 1].reshape(-1) + \
+                I[k - 1, tmin:tmax].reshape(-1)
+            I[k, l] = np.min(c)
+            if backtrack:
+                p[k, l] = np.argmin(c) + tmin
+    cps = np.zeros(m, dtype=int)
+    if backtrack:
+        cur = n
+        for k in range(m, 0, -1):
+            cps[k - 1] = p[k, cur]
+            cur = cps[k - 1]
+    scores = I[:, n].copy()
+    scores[scores > 1e99] = np.inf
+    return cps, scores
+
+
+def _synthetic_kernel(seed=0, n=60, segs=3):
+    rng = np.random.RandomState(seed)
+    means = rng.randn(segs, 8) * 3
+    X = np.concatenate([means[i] + 0.1 * rng.randn(n // segs, 8)
+                        for i in range(segs)])
+    return X @ X.T
+
+
+def test_calc_scatters_matches_reference_formula():
+    K = _synthetic_kernel()
+    J = kts.calc_scatters(K)
+    n = K.shape[0]
+    # brute-force scatter of [i..j]: sum_d K[d,d] - sum_{d,e} K[d,e]/(j-i+1)
+    for i in [0, 5, 20]:
+        for j in [i, i + 3, n - 1]:
+            block = K[i:j + 1, i:j + 1]
+            expect = np.trace(block) - block.sum() / (j - i + 1)
+            assert np.isclose(J[i, j], expect, atol=1e-6)
+
+
+def test_cpd_nonlin_matches_reference():
+    K = _synthetic_kernel()
+    for ncp in (2, 5):
+        ref_cps, ref_scores = _reference_cpd_nonlin(K, ncp)
+        cps, scores = kts.cpd_nonlin(K, ncp, verbose=False)
+        assert (cps == ref_cps).all()
+        finite = np.isfinite(ref_scores)
+        assert (np.isfinite(scores) == finite).all()
+        assert np.allclose(scores[finite], ref_scores[finite], rtol=1e-9)
+
+
+def test_cpd_nonlin_with_lmin_lmax():
+    K = _synthetic_kernel(seed=3)
+    ref_cps, ref_scores = _reference_cpd_nonlin(K, 4, lmin=5, lmax=30)
+    cps, scores = kts.cpd_nonlin(K, 4, lmin=5, lmax=30, verbose=False)
+    assert (cps == ref_cps).all()
+    finite = np.isfinite(ref_scores)
+    assert np.allclose(scores[finite], ref_scores[finite], rtol=1e-9)
+
+
+def test_cpd_auto_matches_two_pass_reference():
+    K = _synthetic_kernel(seed=1)
+
+    def reference_cpd_auto(K, ncp, vmax, desc_rate=1):
+        m = ncp
+        _, scores = _reference_cpd_nonlin(K, m, backtrack=False)
+        N = K.shape[0]
+        N2 = N * desc_rate
+        penalties = np.zeros(m + 1)
+        ncps = np.arange(1, m + 1)
+        penalties[1:] = (vmax * ncps / (2.0 * N2)) * \
+            (np.log(float(N2) / ncps) + 1)
+        costs = scores / float(N) + penalties
+        m_best = np.argmin(costs)
+        return _reference_cpd_nonlin(K, m_best)
+
+    ref_cps, ref_scores = reference_cpd_auto(K, K.shape[0] - 1, 1)
+    cps, scores = kts.cpd_auto(K, K.shape[0] - 1, 1)
+    assert (cps == ref_cps).all()
+    assert np.allclose(scores, ref_scores, rtol=1e-9)
+    # detected change points should be near the true boundaries (20, 40)
+    assert len(cps) >= 2
+
+
+def test_kts_dp_jax_matches_host():
+    K = _synthetic_kernel(seed=2, n=40)
+    m_max = 8
+    J = kts.calc_scatters(K)
+    scores_j, path_j = kts.kts_dp_jax(J.astype(np.float32), m_max)
+    _, scores_ref = _reference_cpd_nonlin(K, m_max, backtrack=False)
+    sj = np.asarray(scores_j, dtype=np.float64)
+    finite = np.isfinite(scores_ref)
+    assert np.allclose(sj[finite], scores_ref[finite], rtol=1e-3)
+    # backtrack at a fixed m matches host
+    for m_best in (2, 5):
+        ref_cps, _ = _reference_cpd_nonlin(K, m_best)
+        cps, valid = kts.kts_backtrack_jax(path_j, m_best, m_max, K.shape[0])
+        cps = np.asarray(cps)[np.asarray(valid)]
+        assert (cps == ref_cps).all()
+
+
+def test_haar_dwt_known_values():
+    # pywt.dwt([1,2],'haar') -> cA=[2.1213], cD=[-0.7071]
+    ca, cd = dwt.haar_dwt(np.array([[1.0, 2.0]]).T[None].transpose(0, 1, 2))
+    x = np.array([1.0, 2.0, 3.0, 5.0])[None, :, None]
+    ca, cd = dwt.haar_dwt(x, axis=1)
+    assert np.allclose(np.asarray(ca)[0, :, 0],
+                       [3 / np.sqrt(2), 8 / np.sqrt(2)])
+    assert np.allclose(np.asarray(cd)[0, :, 0],
+                       [-1 / np.sqrt(2), -2 / np.sqrt(2)])
+
+
+def test_haar_dwt_odd_length_symmetric():
+    x = np.array([1.0, 2.0, 7.0])[None, :, None]
+    ca, cd = dwt.haar_dwt(x, axis=1)
+    assert np.allclose(np.asarray(ca)[0, :, 0],
+                       [3 / np.sqrt(2), 14 / np.sqrt(2)])
+    assert np.allclose(np.asarray(cd)[0, :, 0], [-1 / np.sqrt(2), 0.0])
+
+
+def test_haar_roundtrip():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 16, 4).astype(np.float32)
+    ca, cd = dwt.haar_dwt(x, axis=1)
+    back = dwt.haar_idwt(ca, cd, axis=1)
+    assert np.allclose(np.asarray(back), x, atol=1e-6)
