@@ -29,7 +29,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import dense
+from edsnet_tpu.models.common import BIAS01, XAVIER2
+from edsnet_tpu.ops import window_linear as wl
 from edsnet_tpu.ops.dwt import haar_dwt
 
 
@@ -72,33 +73,53 @@ class Pooling(nn.Module):
               fine = fc(flatten(Re(FFT(window)))) + GELU
     - 'dwt':  coarse = mean over cA; fine = fc(flatten(cA)) + GELU
     - 'flat-pooling': fine = fc(flatten(window)) + GELU (no coarse)
+
+    ``fused=True`` (default) lowers each variant to a windowed *linear* map
+    — one MXU conv contraction with folded weights, no (B, N, s, H)
+    materialization (see ops/window_linear.py); ``fused=False`` keeps the
+    literal gather-windows formulation (test oracle).
     """
     scales: Sequence[int]
     pooling_type: str
     num_hidden: int
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         scale = list(self.scales)[0]
-        w = extract_windows(x, scale)                  # [B, N, s, H]
-        b, n, s, h = w.shape
+        b, n, h = x.shape
+        in_dim = (scale // 2 if self.pooling_type == "dwt" else scale) * h
+        kernel = self.param("fc_kernel", XAVIER2, (in_dim, self.num_hidden))
+        bias = self.param("fc_bias", BIAS01, (self.num_hidden,))
 
+        if self.fused:
+            if self.pooling_type == "fft":
+                folded = wl.fft_weight_fold(kernel, scale)
+                coarse = wl.fft_coarse(x, scale)
+            elif self.pooling_type == "dwt":
+                folded = wl.dwt_weight_fold(kernel, scale)
+                coarse = wl.dwt_coarse(x, scale)
+            elif self.pooling_type == "flat-pooling":
+                folded = wl.flat_weight_fold(kernel, scale)
+                coarse = None
+            else:
+                raise ValueError(
+                    f"Invalid pooling type {self.pooling_type}")
+            fine = nn.gelu(wl.windowed_linear(x, folded, bias))
+            return (fine,) if coarse is None else (coarse, fine)
+
+        w = extract_windows(x, scale)                  # [B, N, s, H]
         if self.pooling_type == "fft":
             spec = jnp.fft.fft(w, axis=2).real
             coarse = spec.mean(axis=2)
-            fine = dense(self.num_hidden, name="fc")(
-                spec.reshape(b, n, s * h))
+            fine = spec.reshape(b, n, scale * h) @ kernel + bias
             return coarse, nn.gelu(fine)
-
         if self.pooling_type == "dwt":
             ca, _ = haar_dwt(w, axis=2)                # [B, N, s//2, H]
             coarse = ca.mean(axis=2)
-            fine = dense(self.num_hidden, name="fc")(
-                ca.reshape(b, n, (s // 2) * h))
+            fine = ca.reshape(b, n, (scale // 2) * h) @ kernel + bias
             return coarse, nn.gelu(fine)
-
         if self.pooling_type == "flat-pooling":
-            fine = dense(self.num_hidden, name="fc")(w.reshape(b, n, s * h))
+            fine = w.reshape(b, n, scale * h) @ kernel + bias
             return (nn.gelu(fine),)
-
         raise ValueError(f"Invalid pooling type {self.pooling_type}")

@@ -67,6 +67,10 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     skipped = len(train_set) - len(items)
     if skipped:
         logger.info(f"skipped {skipped} videos (NaN gtscore / empty target)")
+    if not items:
+        raise ValueError(
+            "no trainable videos: every video was skipped (NaN gtscore or "
+            "empty keyshot target at the 15% budget)")
 
     val_set = VideoDataset(split["test_keys"], args.data_root)
     val_records = [val_set[i] for i in range(len(val_set))]

@@ -20,8 +20,8 @@ def _write_video(h5, name, n_seq, rng):
     features /= np.linalg.norm(features, axis=-1, keepdims=True)
     gtscore = rng.rand(n_seq).astype(np.float32)
     picks = np.arange(n_seq, dtype=np.int32) * 15
-    # 3 equal shots
-    bounds = np.linspace(0, n_frames, 4, dtype=np.int32)
+    # 10 shots so several fit inside the 15% knapsack budget
+    bounds = np.linspace(0, n_frames, 11, dtype=np.int32)
     cps = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
     nfps = bounds[1:] - bounds[:-1]
     user_summary = (rng.rand(3, n_frames) > 0.8).astype(np.float32)
