@@ -36,24 +36,26 @@ def bench_ours() -> float:
         orientation="paper", pooling_type="roi")
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(BATCH, SEQ_LEN, FEAT).astype(np.float32))
+    # distinct inputs per step so no layer of the stack can cache/elide work
+    xs = [jnp.asarray(rng.randn(BATCH, SEQ_LEN, FEAT).astype(np.float32))
+          for _ in range(4)]
     mask = jnp.ones((BATCH, SEQ_LEN), bool)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, x, mask)
+    variables = model.init(rngs, xs[0], mask)
 
     @jax.jit
     def predict(v, seq, m):
         return model.apply(v, seq, m, method="predict")
 
-    out = predict(variables, x, mask)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        jax.block_until_ready(predict(variables, x, mask))
+    for i in range(WARMUP + 1):
+        jax.block_until_ready(predict(variables, xs[i % len(xs)], mask))
 
+    outs = []
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = predict(variables, x, mask)
-    jax.block_until_ready(out)
+    for i in range(STEPS):
+        cls, _ = predict(variables, xs[i % len(xs)], mask)
+        outs.append(cls)
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     frames = BATCH * SEQ_LEN * STEPS
     return frames / dt

@@ -106,6 +106,8 @@ def evaluate_loader(model, variables, val_loader: DataLoader,
 
 def main():
     args = config_lib.get_arguments()
+    from edsnet_tpu.utils.runtime import setup_runtime
+    setup_runtime(args.device)
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)
     logger.info(vars(args))

@@ -36,6 +36,8 @@ def main():
     import cv2
 
     args = config_lib.get_arguments()
+    from edsnet_tpu.utils.runtime import setup_runtime
+    setup_runtime(args.device)
 
     print("Loading model ...")
     model = get_model(args.model, **vars(args))

@@ -6,17 +6,17 @@ three softmax similarities, a 6-step Newton–Schulz pseudo-inverse of the
 config from the factory (`src/modules/models.py:135`): dim_head=64,
 num_landmarks=64, pinv_iterations=6, residual conv kernel 33, dropout 0.
 
-TPU notes: the whole block is dense matmul + tiny (64 x 64) serial matmuls —
-it fuses into one XLA program.  We adopt the reference's *masked* semantics
-(nystroformer.py:87-126) for padded buckets: q/k/v and landmark means are
-masked, and similarity logits are -inf at invalid (position, landmark)
-pairs.  The reference's internal front-padding (to a multiple of
-num_landmarks) is unnecessary when the bucket length is already a multiple
-of 64, which the data pipeline guarantees.
+TPU notes: the core (between QKV and the output projection) is exposed as
+``nystrom_core_jnp`` and has a fused Pallas twin
+(`edsnet_tpu/kernels/nystrom_pallas.py`) that keeps every (N x m) / (m x N)
+intermediate in VMEM; select with ``use_pallas``.  We adopt the reference's
+*masked* semantics (nystroformer.py:87-126) for padded buckets.  The
+reference's internal front-padding (to a multiple of num_landmarks) is a
+no-op when the bucket length is already a multiple of 64, which the data
+pipeline guarantees.
 """
 from __future__ import annotations
 
-from math import ceil
 from typing import Optional
 
 import jax
@@ -25,13 +25,22 @@ from flax import linen as nn
 
 from edsnet_tpu.models.common import XAVIER2, BIAS01
 
+NEG = -1e30
+
 
 def moore_penrose_pinv(x, iters: int = 6):
-    """Newton–Schulz iterative pseudo-inverse. (nystroformer.py:13-28)"""
+    """Newton–Schulz iterative pseudo-inverse. (nystroformer.py:13-28)
+
+    Deviation: the z0 scaling uses per-matrix (batch, head) maxima of the
+    column/row sums, where the reference takes the *global* max across the
+    whole batch (an einops artifact at nystroformer.py:19).  Both are valid
+    NS initializations converging to the same pseudo-inverse; per-matrix
+    conditioning is tighter and matches the fused Pallas kernel exactly.
+    """
     abs_x = jnp.abs(x)
-    col = jnp.sum(abs_x, axis=-1)
-    row = jnp.sum(abs_x, axis=-2)
-    z = jnp.swapaxes(x, -1, -2) / (jnp.max(col) * jnp.max(row))
+    col = jnp.max(jnp.sum(abs_x, axis=-1), axis=-1, keepdims=True)
+    row = jnp.max(jnp.sum(abs_x, axis=-2), axis=-1, keepdims=True)
+    z = jnp.swapaxes(x, -1, -2) / (col * row)[..., None]
 
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
@@ -44,6 +53,47 @@ def moore_penrose_pinv(x, iters: int = 6):
     return z
 
 
+def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
+                     pinv_iterations: int, eps: float = 1e-8):
+    """Landmark attention core. q/k/v: [B, H, N, D] (masked, q scaled);
+    mask: [B, N] or None. Returns [B, H, N, D]."""
+    b, h, n_p, d = q.shape
+    m = num_landmarks
+    l = n_p // m
+
+    def landmarks(t):
+        return t.reshape(b, h, m, l, d).sum(axis=3)
+
+    q_l, k_l = landmarks(q), landmarks(k)
+    if mask is None:
+        divisor = jnp.asarray(float(l), q.dtype)
+        lm_valid = None
+    else:
+        counts = mask.reshape(b, m, l).sum(axis=-1)  # [B, m]
+        divisor = (counts[:, None, :, None] + eps).astype(q.dtype)
+        lm_valid = counts > 0  # [B, m]
+    q_l = q_l / divisor
+    k_l = k_l / divisor
+
+    sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,Np,m]
+    sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]
+    sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)     # [B,H,m,Np]
+
+    if mask is not None:
+        pm = mask[:, None, :, None]
+        lm = lm_valid[:, None, :, None]
+        sim1 = jnp.where(pm & lm.transpose(0, 1, 3, 2), sim1, NEG)
+        sim2 = jnp.where(lm & lm.transpose(0, 1, 3, 2), sim2, NEG)
+        sim3 = jnp.where(lm & pm.transpose(0, 1, 3, 2), sim3, NEG)
+
+    attn1 = nn.softmax(sim1, axis=-1)
+    attn2 = nn.softmax(sim2, axis=-1)
+    attn3 = nn.softmax(sim3, axis=-1)
+    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
+
+    return (attn1 @ attn2_inv) @ (attn3 @ v)
+
+
 class NystromAttention(nn.Module):
     dim: int
     dim_head: int = 64
@@ -54,6 +104,7 @@ class NystromAttention(nn.Module):
     residual_conv_kernel: int = 33
     eps: float = 1e-8
     dropout: float = 0.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -88,40 +139,21 @@ class NystromAttention(nn.Module):
 
         q = q * (self.dim_head ** -0.5)
 
-        # landmarks: mean over groups of l = Np/m consecutive positions
-        l = n_p // m
-        def landmarks(t):
-            return t.reshape(b, h, m, l, self.dim_head).sum(axis=3)
-
-        q_l, k_l = landmarks(q), landmarks(k)
-        if mask is None:
-            divisor = jnp.asarray(float(l), x.dtype)
-            lm_valid = None
+        if self.use_pallas and mask is not None:
+            from edsnet_tpu.kernels.nystrom_pallas import \
+                nystrom_attention_pallas
+            out = nystrom_attention_pallas(
+                q, k, v, mask, num_landmarks=m,
+                pinv_iterations=self.pinv_iterations, eps=self.eps)
+        elif self.use_pallas:
+            from edsnet_tpu.kernels.nystrom_pallas import \
+                nystrom_attention_pallas
+            out = nystrom_attention_pallas(
+                q, k, v, jnp.ones((b, n_p), x.dtype), num_landmarks=m,
+                pinv_iterations=self.pinv_iterations, eps=self.eps)
         else:
-            counts = mask.reshape(b, m, l).sum(axis=-1)  # [B, m]
-            divisor = (counts[:, None, :, None] + self.eps).astype(x.dtype)
-            lm_valid = counts > 0  # [B, m]
-        q_l = q_l / divisor
-        k_l = k_l / divisor
-
-        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,Np,m]
-        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]
-        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)     # [B,H,m,Np]
-
-        if mask is not None:
-            neg = jnp.finfo(x.dtype).min
-            pm = mask[:, None, :, None]
-            lm = lm_valid[:, None, :, None]
-            sim1 = jnp.where(pm & lm.transpose(0, 1, 3, 2), sim1, neg)
-            sim2 = jnp.where(lm & lm.transpose(0, 1, 3, 2), sim2, neg)
-            sim3 = jnp.where(lm & pm.transpose(0, 1, 3, 2), sim3, neg)
-
-        attn1 = nn.softmax(sim1, axis=-1)
-        attn2 = nn.softmax(sim2, axis=-1)
-        attn3 = nn.softmax(sim3, axis=-1)
-        attn2_inv = moore_penrose_pinv(attn2, self.pinv_iterations)
-
-        out = (attn1 @ attn2_inv) @ (attn3 @ v)          # [B,H,Np,D]
+            out = nystrom_core_jnp(q, k, v, mask, m, self.pinv_iterations,
+                                   self.eps)
 
         if self.residual:
             ksize = self.residual_conv_kernel

@@ -18,6 +18,8 @@ logger = logging.getLogger()
 
 def main(argv=None):
     args = config_lib.get_arguments(argv)
+    from edsnet_tpu.utils.runtime import setup_runtime
+    setup_runtime(args.device)
 
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)

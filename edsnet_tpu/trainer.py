@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import time
+from pathlib import Path
 from typing import List, Tuple
 
 import jax
@@ -28,6 +29,7 @@ from edsnet_tpu.parallel import make_mesh, shard_batch
 from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
                                        af_train_step, make_optimizer)
 from edsnet_tpu.utils import checkpoint as ckpt_lib
+from edsnet_tpu.utils.profiling import StepTimer, maybe_trace
 
 logger = logging.getLogger()
 
@@ -89,28 +91,40 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     epoch_list: List[int] = []
     f1_list: List[float] = []
     time_list: List[float] = []
+    timer = StepTimer()
+    profile_dir = str(Path(args.model_dir) / "profile")
 
+    epoch_metrics: List = []
     for epoch in range(args.max_epoch):
         start = time.time()
         stats = AverageMeter("loss", "cls_loss", "loc_loss", "ctr_loss")
 
-        for batch in batching.batch_items(items, args.batch_size,
-                                          args.bucket_size, shuffle=True,
-                                          rng=rng, pad_batch_to=n_dev):
-            step_rng, sub = jax.random.split(step_rng)
-            dev_batch = shard_batch(_array_batch(batch), mesh)
-            if is_ab:
-                state, metrics = ab_train_step(
-                    state, dev_batch, sub, lambda_reg=args.lambda_reg,
-                    neg_ratio=args.neg_sample_ratio,
-                    inc_ratio=args.incomplete_sample_ratio)
-            else:
-                state, metrics = af_train_step(
-                    state, dev_batch, sub, lambda_reg=args.lambda_reg,
-                    lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
-                    reg_kind=args.reg_loss)
-            stats.update(**{k: float(v) for k, v in metrics.items()})
+        with maybe_trace(args.profile and epoch == 1, profile_dir):
+            for batch in batching.batch_items(items, args.batch_size,
+                                              args.bucket_size, shuffle=True,
+                                              rng=rng, pad_batch_to=n_dev):
+                step_rng, sub = jax.random.split(step_rng)
+                dev_batch = shard_batch(_array_batch(batch), mesh)
+                timer.start()
+                if is_ab:
+                    state, metrics = ab_train_step(
+                        state, dev_batch, sub, lambda_reg=args.lambda_reg,
+                        neg_ratio=args.neg_sample_ratio,
+                        inc_ratio=args.incomplete_sample_ratio)
+                else:
+                    state, metrics = af_train_step(
+                        state, dev_batch, sub, lambda_reg=args.lambda_reg,
+                        lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
+                        reg_kind=args.reg_loss)
+                timer.stop(int(np.sum(batch["mask"])),
+                           sync=metrics["loss"] if args.profile else None)
+                # keep metrics on device; a per-step float() would force a
+                # sync and stall the dispatch pipeline
+                epoch_metrics.append(metrics)
 
+        for m in jax.device_get(epoch_metrics):
+            stats.update(**{k: float(v) for k, v in m.items()})
+        epoch_metrics.clear()
         time_list.append(time.time() - start)
 
         variables = {"params": state.params, **(state.constants or {})}
@@ -139,4 +153,5 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         logger.info(f"avg time taken: {t.mean():.3f} "
                     f"max time taken: {t.max():.3f} "
                     f"min time taken: {t.min():.3f}")
+    logger.info(f"train throughput: {timer.summary()}")
     return max_val_fscore, f1_list, epoch_list

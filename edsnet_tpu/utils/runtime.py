@@ -1,0 +1,29 @@
+"""Runtime setup: persistent XLA compilation cache + device selection.
+
+First compiles dominate wall-clock on small hosts (and TPU compiles are
+20-40s); every CLI entry point calls ``setup_runtime`` so recompiles are
+served from a persistent on-disk cache across processes.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def setup_runtime(device: str = "auto", cache_dir: str | None = None) -> None:
+    """Configure jax before heavy use. Safe to call multiple times."""
+    if device and device != "auto" and "JAX_PLATFORMS" not in os.environ:
+        os.environ["JAX_PLATFORMS"] = device
+
+    import jax
+
+    cache = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "edsnet_tpu_xla"))
+    Path(cache).mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags

@@ -19,3 +19,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Belt and braces: if some plugin already imported jax (reading the shell's
+# JAX_PLATFORMS), override the config before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert not jax._src.xla_bridge._backends, (
+    "a jax backend initialized before conftest could force the CPU platform")
