@@ -132,6 +132,20 @@ def get_parser() -> argparse.ArgumentParser:
                              "of the reference's shared-weight trunk")
     parser.add_argument("--profile", action="store_true",
                         help="emit jax profiler traces + per-step timings")
+    parser.add_argument("--device-eval", action="store_true",
+                        help="run the full eval pipeline (NMS + knapsack + "
+                             "F1) on device instead of host summary "
+                             "assembly")
+    parser.add_argument("--matmul-precision", type=str, default=None,
+                        choices=["default", "high", "highest", "bfloat16",
+                                 "tensorfloat32", "float32"],
+                        help="jax default matmul precision (TPU MXU runs "
+                             "bf16-ish by 'default'; 'highest' forces f32)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume training from the saved train state "
+                             "(model + optimizer + epoch) if present")
+    parser.add_argument("--use-pallas", action="store_true",
+                        help="use the fused Pallas nystromformer kernel")
     return parser
 
 

@@ -107,7 +107,10 @@ def evaluate_loader(model, variables, val_loader: DataLoader,
 def main():
     args = config_lib.get_arguments()
     from edsnet_tpu.utils.runtime import setup_runtime
-    setup_runtime(args.device)
+    setup_runtime(args.device, matmul_precision=getattr(args, 'matmul_precision', None))
+    if getattr(args, "use_pallas", False):
+        from edsnet_tpu.models.base import set_use_pallas
+        set_use_pallas(True)
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)
     logger.info(vars(args))

@@ -37,7 +37,7 @@ def main():
 
     args = config_lib.get_arguments()
     from edsnet_tpu.utils.runtime import setup_runtime
-    setup_runtime(args.device)
+    setup_runtime(args.device, matmul_precision=getattr(args, 'matmul_precision', None))
 
     print("Loading model ...")
     model = get_model(args.model, **vars(args))

@@ -21,6 +21,14 @@ from edsnet_tpu.models.performer import Performer
 BASE_MODELS = ("linear", "lstm", "bilstm", "gcn", "attention",
                "nystromformer", "fourier", "linformer", "performer", "dwt")
 
+_USE_PALLAS = False
+
+
+def set_use_pallas(enabled: bool) -> None:
+    """Route nystromformer through the fused Pallas kernel (--use-pallas)."""
+    global _USE_PALLAS
+    _USE_PALLAS = bool(enabled)
+
 
 class LinearExtractor(nn.Module):
     """Position-wise linear mixing. (models.py:123-124)"""
@@ -50,7 +58,7 @@ def build_base_model(base_type: str, num_feature: int, num_head: int,
         return NystromAttention(dim=num_feature, dim_head=64, heads=num_head,
                                 num_landmarks=64, pinv_iterations=6,
                                 residual=True, residual_conv_kernel=33,
-                                name=name)
+                                use_pallas=_USE_PALLAS, name=name)
     if base_type == "fourier":
         return FNetLayer(num_feature, dropout=0.5, orientation=orientation,
                          name=name)

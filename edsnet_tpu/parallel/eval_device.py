@@ -1,0 +1,167 @@
+"""Fully on-device evaluation: predict -> NMS -> rasterize -> keyshot
+summary (knapsack DP) -> F1, one jitted program per (seq, frame) bucket.
+
+The host path in evaluate.py assembles summaries per video with the native
+C++ knapsack; this path keeps everything on the TPU so train-time eval
+doesn't stall the device between epochs.  Tests assert it matches the host
+evaluator's F-scores exactly.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterator, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edsnet_tpu.data.dataset import VideoRecord
+from edsnet_tpu.ops import bbox as bbox_ops
+from edsnet_tpu.ops import summary as summ_ops
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def batch_eval_device(records: List[VideoRecord], batch_size: int,
+                      bucket_size: int) -> Iterator[Dict]:
+    """Pad records into device-ready eval batches.
+
+    Per batch: seq [B,L,F], mask [B,L], lens [B], picks [B,L],
+    cps [B,S,2], nfps [B,S], seg_valid [B,S], n_frames [B],
+    user_summary [B,U,Fr], user_valid [B,U], is_avg [B] (tvsum metric),
+    video_valid [B]; static dims L (seq bucket), S, Fr (frame bucket), U.
+    """
+    buckets: Dict[int, List[VideoRecord]] = {}
+    for r in records:
+        blen = _round_up(max(r.seq.shape[0], 1), bucket_size)
+        buckets.setdefault(blen, []).append(r)
+
+    for blen, group in buckets.items():
+        for i in range(0, len(group), batch_size):
+            chunk = group[i:i + batch_size]
+            b = len(chunk)
+            s_max = max(len(r.cps) for r in chunk)
+            fr_max = _round_up(max(int(r.n_frames) for r in chunk), 256)
+            u_max = max((0 if r.user_summary is None
+                         else r.user_summary.shape[0]) for r in chunk)
+            u_max = max(u_max, 1)
+            feat = chunk[0].seq.shape[1]
+
+            def zeros(shape, dtype=np.float32):
+                return np.zeros((b,) + shape, dtype)
+
+            out = {
+                "seq": zeros((blen, feat)),
+                "mask": zeros((blen,), bool),
+                "lens": np.zeros(b, np.int32),
+                "picks": zeros((blen,), np.int32),
+                "cps": zeros((s_max, 2), np.int32),
+                "nfps": zeros((s_max,), np.int32),
+                "seg_valid": zeros((s_max,), bool),
+                "n_frames": np.zeros(b, np.int32),
+                "user_summary": zeros((u_max, fr_max), bool),
+                "user_valid": zeros((u_max,), bool),
+                "is_avg": np.zeros(b, bool),
+                "records": chunk,
+                "frame_bucket": fr_max,
+            }
+            for j, r in enumerate(chunk):
+                n = r.seq.shape[0]
+                out["seq"][j, :n] = r.seq
+                out["mask"][j, :n] = True
+                out["lens"][j] = n
+                out["picks"][j, :n] = r.picks
+                # padding picks point past the video so searchsorted maps
+                # trailing frames to the last real pick
+                out["picks"][j, n:] = int(r.n_frames) + 1
+                ns = len(r.cps)
+                out["cps"][j, :ns] = r.cps
+                out["nfps"][j, :ns] = r.nfps
+                out["seg_valid"][j, :ns] = True
+                out["n_frames"][j] = int(r.n_frames)
+                if r.user_summary is not None:
+                    u, fr = r.user_summary.shape
+                    out["user_summary"][j, :u, :min(fr, fr_max)] = \
+                        r.user_summary[:, :fr_max] > 0.5
+                    out["user_valid"][j, :u] = True
+                out["is_avg"][j] = "tvsum" in r.key
+            yield out
+
+
+@partial(jax.jit, static_argnames=("model", "num_scales", "nms_thresh",
+                                   "frame_bucket"))
+def _eval_batch_device(model, variables, batch, num_scales: int,
+                       nms_thresh: float, frame_bucket: int):
+    pred_cls, boxes = model.apply(variables, batch["seq"], batch["mask"],
+                                  method="predict")
+    total = pred_cls.shape[1]
+    positions = jnp.arange(total) // num_scales
+
+    def one(cls_i, boxes_i, len_i, picks, cps, nfps, seg_valid, n_frames,
+            user_summary, user_valid, is_avg):
+        valid = positions < len_i
+        boxes_c = jnp.round(jnp.clip(boxes_i, 0, len_i))
+        keep = bbox_ops.nms_masked(cls_i, boxes_c, nms_thresh, valid)
+
+        # max-score rasterization over pick positions (vsumm_helper:101-116)
+        n = total // num_scales
+        pos = jnp.arange(n)
+        boxes_int = boxes_c.astype(jnp.int32)
+        inside = (pos[None, :] >= boxes_int[:, :1]) & \
+                 (pos[None, :] < boxes_int[:, 1:2]) & keep[:, None]
+        score = jnp.max(jnp.where(inside, cls_i[:, None], 0.0), axis=0)
+
+        summ = summ_ops.keyshot_summ_jax(
+            score, picks, cps, nfps, seg_valid, n_frames,
+            max_frames=frame_bucket)
+
+        f1s = summ_ops.f1_score_jax(user_summary,
+                                    jnp.broadcast_to(summ, user_summary.shape))
+        f1s = jnp.where(user_valid, f1s, jnp.where(is_avg, 0.0, -1.0))
+        n_users = jnp.maximum(jnp.sum(user_valid), 1)
+        avg = jnp.sum(jnp.where(user_valid, f1s, 0.0)) / n_users
+        mx = jnp.max(f1s)
+        return jnp.where(is_avg, avg, mx), summ
+
+    fscores, summs = jax.vmap(one)(
+        pred_cls, boxes, batch["lens"], batch["picks"], batch["cps"],
+        batch["nfps"], batch["seg_valid"], batch["n_frames"],
+        batch["user_summary"], batch["user_valid"], batch["is_avg"])
+    return fscores, summs
+
+
+def evaluate_on_device(model, variables, records: List[VideoRecord],
+                       nms_thresh: float, batch_size: int = 4,
+                       bucket_size: int = 64):
+    """All-device F-score evaluation; returns (mean_fscore, mean_diversity).
+
+    Diversity still computed host-side from the returned summaries (it is
+    cheap and only logged).
+    """
+    num_scales = getattr(model, "anchor_scales", None)
+    if num_scales is not None:
+        from edsnet_tpu.ops.anchors import anchor_scales_list
+        num_scales = len(anchor_scales_list(num_scales))
+    else:
+        num_scales = 1
+
+    fscores, diversities = [], []
+    for batch in batch_eval_device(records, batch_size, bucket_size):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
+        frame_bucket = batch["frame_bucket"]
+        fs, summs = _eval_batch_device(
+            model, variables, jb, num_scales, nms_thresh, frame_bucket)
+        fs = np.asarray(fs)
+        summs = np.asarray(summs)
+        for j, r in enumerate(batch["records"]):
+            fscores.append(float(fs[j]))
+            seq_len = r.seq.shape[0]
+            down = summs[j][:int(r.n_frames)][::summ_ops.SAMPLE_RATE]
+            down = down[:seq_len]
+            if down.size < seq_len:
+                down = np.pad(down, (0, seq_len - down.size))
+            diversities.append(summ_ops.get_summ_diversity(down, r.seq))
+    return float(np.mean(fscores)), float(np.mean(diversities))

@@ -24,6 +24,7 @@ import numpy as np
 from edsnet_tpu.data import batching
 from edsnet_tpu.data.dataset import AverageMeter, VideoDataset
 from edsnet_tpu.evaluate import evaluate
+from edsnet_tpu.parallel.eval_device import evaluate_on_device
 from edsnet_tpu.models.model_zoo import get_model
 from edsnet_tpu.parallel import make_mesh, shard_batch
 from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
@@ -88,6 +89,13 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     state = _init_state(model, args, first_batch)
 
     max_val_fscore = -1.0
+    start_epoch = 0
+    state_path = Path(str(save_path) + ".state")
+    if getattr(args, "resume", False) and state_path.exists():
+        state, start_epoch, max_val_fscore = ckpt_lib.load_train_state(
+            state, state_path)
+        logger.info(f"resumed from {state_path} at epoch {start_epoch} "
+                    f"(best F-score {max_val_fscore:.4f})")
     epoch_list: List[int] = []
     f1_list: List[float] = []
     time_list: List[float] = []
@@ -95,7 +103,7 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     profile_dir = str(Path(args.model_dir) / "profile")
 
     epoch_metrics: List = []
-    for epoch in range(args.max_epoch):
+    for epoch in range(start_epoch, args.max_epoch):
         start = time.time()
         stats = AverageMeter("loss", "cls_loss", "loc_loss", "ctr_loss")
 
@@ -128,16 +136,21 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         time_list.append(time.time() - start)
 
         variables = {"params": state.params, **(state.constants or {})}
-        val_fscore, _ = evaluate(model, variables, val_records,
-                                 args.nms_thresh,
-                                 batch_size=max(args.batch_size, 1),
-                                 bucket_size=args.bucket_size)
+        eval_fn = (evaluate_on_device if getattr(args, "device_eval", False)
+                   else evaluate)
+        val_fscore, _ = eval_fn(model, variables, val_records,
+                                args.nms_thresh,
+                                batch_size=max(args.batch_size, 1),
+                                bucket_size=args.bucket_size)
         f1_list.append(val_fscore)
         epoch_list.append(epoch)
 
         if max_val_fscore < val_fscore:
             max_val_fscore = val_fscore
             ckpt_lib.save_checkpoint(variables, save_path)
+        if getattr(args, "resume", False):
+            ckpt_lib.save_train_state(state, epoch + 1, max_val_fscore,
+                                      state_path)
 
         log_every = 30 if is_ab else 20
         if epoch % log_every == 0:

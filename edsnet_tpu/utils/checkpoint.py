@@ -21,6 +21,29 @@ def save_checkpoint(variables: Any, path) -> None:
     path.write_bytes(serialization.to_bytes(variables))
 
 
+def save_train_state(state, epoch: int, best_fscore: float, path) -> None:
+    """Full resumable training snapshot (params + optimizer + progress).
+
+    The reference can only save model weights (save-only, no resume —
+    SURVEY.md §5); this adds elastic restartability.
+    """
+    payload = {
+        "state": serialization.to_state_dict(state),
+        "epoch": epoch,
+        "best_fscore": best_fscore,
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.msgpack_serialize(payload))
+
+
+def load_train_state(state_template, path):
+    """Restore (state, next_epoch, best_fscore) from a snapshot."""
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    state = serialization.from_state_dict(state_template, raw["state"])
+    return state, int(raw["epoch"]), float(raw["best_fscore"])
+
+
 def load_checkpoint(model, path, example_input: Tuple) -> Any:
     """Restore variables; the template comes from a throwaway init."""
     rngs = {"params": jax.random.PRNGKey(0),

@@ -10,12 +10,16 @@ import os
 from pathlib import Path
 
 
-def setup_runtime(device: str = "auto", cache_dir: str | None = None) -> None:
+def setup_runtime(device: str = "auto", cache_dir: str | None = None,
+                  matmul_precision: str | None = None) -> None:
     """Configure jax before heavy use. Safe to call multiple times."""
     if device and device != "auto" and "JAX_PLATFORMS" not in os.environ:
         os.environ["JAX_PLATFORMS"] = device
 
     import jax
+
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
 
     cache = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

@@ -15,11 +15,25 @@ def tiny_mp4(tmp_path_factory):
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     out = cv2.VideoWriter(str(path), fourcc, 30.0, (64, 64))
     rng = np.random.RandomState(0)
-    # 3 visually distinct scenes, 100 frames each
-    for scene in range(3):
-        base = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    # 3 structurally distinct scenes (stripes/checkerboard), 100 frames each
+    # — random-noise scenes are nearly collinear under the test projection
+    bases = []
+    v = np.zeros((64, 64, 3), np.uint8)
+    v[:, :32] = 255            # left half bright
+    bases.append(v)
+    h = np.zeros((64, 64, 3), np.uint8)
+    h[:32, :] = 255            # top half bright
+    bases.append(h)
+    c = np.zeros((64, 64, 3), np.uint8)
+    for bi in range(0, 64, 16):  # coarse checkerboard
+        for bj in range(0, 64, 16):
+            if (bi // 16 + bj // 16) % 2 == 0:
+                c[bi:bi + 16, bj:bj + 16] = 255
+    bases.append(c)
+    for base in bases:
         for _ in range(100):
-            frame = np.clip(base + rng.randint(-10, 10, base.shape), 0,
+            frame = np.clip(base.astype(np.int32)
+                            + rng.randint(-10, 10, base.shape), 0,
                             255).astype(np.uint8)
             out.write(frame)
     out.release()

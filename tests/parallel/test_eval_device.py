@@ -1,0 +1,54 @@
+"""On-device evaluation must match the host evaluator exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edsnet_tpu.data.dataset import VideoRecord
+from edsnet_tpu.evaluate import evaluate
+from edsnet_tpu.models.model_zoo import get_model
+from edsnet_tpu.parallel.eval_device import evaluate_on_device
+
+FEAT = 16
+
+
+def _records(n_videos=3, tvsum=True):
+    rng = np.random.RandomState(3)
+    records = []
+    for i, n_seq in enumerate([20, 24, 28][:n_videos]):
+        n_frames = n_seq * 15
+        feats = rng.randn(n_seq, FEAT).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        bounds = np.linspace(0, n_frames, 11, dtype=np.int32)
+        cps = np.stack([bounds[:-1], bounds[1:] - 1], axis=1)
+        records.append(VideoRecord(
+            key=f"x/{'tvsum' if tvsum else 'summe'}_{i}",
+            seq=feats,
+            gtscore=rng.rand(n_seq).astype(np.float32),
+            cps=cps, n_frames=n_frames,
+            nfps=(bounds[1:] - bounds[:-1]).astype(np.int32),
+            picks=np.arange(n_seq, dtype=np.int32) * 15,
+            user_summary=(rng.rand(4, n_frames) > 0.8).astype(np.float32)))
+    return records
+
+
+@pytest.mark.parametrize("model_type,tvsum", [
+    ("anchor-based", True), ("anchor-based", False), ("anchor-free", True)])
+def test_device_eval_matches_host(model_type, tvsum):
+    model = get_model(model_type, model_depth="shallow", base_model="linear",
+                      num_feature=FEAT, num_hidden=8, anchor_scales=(4, 8),
+                      num_head=2, fc_depth=1, attention_depth=1,
+                      encoder_type="classic", orientation="paper",
+                      pooling_type="roi")
+    records = _records(tvsum=tvsum)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, FEAT)),
+                           jnp.ones((1, 32), bool))
+
+    host_f, host_d = evaluate(model, variables, records, nms_thresh=0.5,
+                              batch_size=2, bucket_size=32)
+    dev_f, dev_d = evaluate_on_device(model, variables, records,
+                                      nms_thresh=0.5, batch_size=2,
+                                      bucket_size=32)
+    assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
+    assert abs(host_d - dev_d) < 1e-4, (host_d, dev_d)

@@ -1,0 +1,49 @@
+"""Checkpoint/resume: training continues from the saved train state."""
+import numpy as np
+import yaml
+
+
+def test_resume_continues_training(tmp_path):
+    import h5py
+    from edsnet_tpu.train import main
+
+    rng = np.random.RandomState(0)
+    h5_path = tmp_path / "mock_tvsum.h5"
+    with h5py.File(h5_path, "w") as f:
+        for i, n_seq in enumerate([20, 24, 28]):
+            n_frames = n_seq * 15
+            g = f.create_group(f"video_{i}")
+            feats = rng.randn(n_seq, 16).astype(np.float32)
+            g["features"] = feats / np.linalg.norm(feats, -1, keepdims=True)
+            g["gtscore"] = rng.rand(n_seq).astype(np.float32)
+            b = np.linspace(0, n_frames, 11, dtype=np.int32)
+            g["change_points"] = np.stack([b[:-1], b[1:] - 1], 1)
+            g["n_frame_per_seg"] = b[1:] - b[:-1]
+            g["n_frames"] = n_frames
+            g["picks"] = np.arange(n_seq, dtype=np.int32) * 15
+            g["user_summary"] = (rng.rand(2, n_frames) > 0.8).astype(
+                np.float32)
+    keys = [f"d/mock_tvsum.h5/video_{i}" for i in range(3)]
+    split_path = tmp_path / "mock.yml"
+    with open(split_path, "w") as f:
+        yaml.dump([{"train_keys": keys[:2], "test_keys": keys[2:]}], f)
+
+    args = ["anchor-based", "--base-model", "linear",
+            "--splits", str(split_path), "--data-root", str(tmp_path),
+            "--model-dir", str(tmp_path / "m"),
+            "--num-feature", "16", "--num-hidden", "8", "--fc-depth", "1",
+            "--num-head", "2", "--bucket-size", "32", "--batch-size", "2",
+            "--anchor-scales", "4", "--resume"]
+
+    main(args + ["--max-epoch", "2"])
+    state_path = tmp_path / "m" / "checkpoint" / "mock.yml.0.pt.state"
+    assert state_path.exists()
+
+    from flax import serialization
+    raw = serialization.msgpack_restore(state_path.read_bytes())
+    assert raw["epoch"] == 2
+
+    # resume to epoch 4; the snapshot must advance
+    main(args + ["--max-epoch", "4"])
+    raw = serialization.msgpack_restore(state_path.read_bytes())
+    assert raw["epoch"] == 4
