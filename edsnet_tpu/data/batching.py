@@ -41,6 +41,8 @@ class TrainItem:
     # anchor-free labels
     af_loc: Optional[np.ndarray] = None         # [N, 2]
     af_ctr: Optional[np.ndarray] = None         # [N]
+    # optional motion features for the cross-attention head
+    motion: Optional[np.ndarray] = None         # [M, 1024]
 
 
 def make_target(record: VideoRecord) -> Optional[np.ndarray]:
@@ -91,7 +93,7 @@ def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
     return TrainItem(key=record.key, seq=record.seq, target=target,
                      cls_pos=cls_pos.astype(np.int32), loc_label=loc_label,
                      neg_eligible=neg_eligible, inc_eligible=inc_eligible,
-                     num_pos=num_pos)
+                     num_pos=num_pos, motion=record.motion_features)
 
 
 def prepare_af_item(record: VideoRecord) -> Optional[TrainItem]:
@@ -194,6 +196,16 @@ def _stack_chunk(chunk: List[TrainItem], blen: int,
     if first.af_loc is not None:
         batch["af_loc"] = stack(lambda it: it.af_loc, np.float32)
         batch["af_ctr"] = stack(lambda it: it.af_ctr, np.float32)
+    if first.motion is not None:
+        m_len = max(it.motion.shape[0] for it in chunk)
+        m_len = ((m_len + 15) // 16) * 16
+        motions = [_pad_to(np.asarray(it.motion, np.float32), m_len)
+                   for it in chunk]
+        motions += [np.zeros_like(motions[0])] * (b_pad - b)
+        batch["motion"] = np.stack(motions)
+        mmask = [np.arange(m_len) < it.motion.shape[0] for it in chunk]
+        mmask += [np.zeros(m_len, bool)] * (b_pad - b)
+        batch["motion_mask"] = np.stack(mmask)
     return batch
 
 
@@ -216,4 +228,16 @@ def batch_eval_records(records: List[VideoRecord], batch_size: int,
                                        np.float32)] * (b_pad - b))
             mask = np.stack([np.arange(blen) < r.seq.shape[0] for r in chunk]
                             + [np.zeros(blen, bool)] * (b_pad - b))
-            yield {"seq": seq, "mask": mask, "records": chunk}
+            out = {"seq": seq, "mask": mask, "records": chunk}
+            if chunk[0].motion_features is not None:
+                m_len = max(r.motion_features.shape[0] for r in chunk)
+                m_len = ((m_len + 15) // 16) * 16
+                motions = [_pad_to(np.asarray(r.motion_features, np.float32),
+                                   m_len) for r in chunk]
+                motions += [np.zeros_like(motions[0])] * (b_pad - b)
+                out["motion"] = np.stack(motions)
+                mmask = [np.arange(m_len) < r.motion_features.shape[0]
+                         for r in chunk]
+                mmask += [np.zeros(m_len, bool)] * (b_pad - b)
+                out["motion_mask"] = np.stack(mmask)
+            yield out

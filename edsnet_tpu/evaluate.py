@@ -33,9 +33,13 @@ logger = logging.getLogger()
 
 @partial(jax.jit, static_argnames=("model", "num_scales", "nms_thresh"))
 def _predict_nms(model, variables, seq, mask, lens, num_scales: int,
-                 nms_thresh: float):
+                 nms_thresh: float, motion=None, motion_mask=None):
     """Jitted predict + clip/round + masked NMS for a padded batch."""
-    pred_cls, boxes = model.apply(variables, seq, mask, method="predict")
+    if motion is not None:
+        pred_cls, boxes = model.apply(variables, seq, motion, mask,
+                                      motion_mask, method="predict")
+    else:
+        pred_cls, boxes = model.apply(variables, seq, mask, method="predict")
     b, total = pred_cls.shape
     n = total // num_scales
     positions = jnp.arange(total) // num_scales
@@ -66,10 +70,14 @@ def evaluate(model, variables, val_records: List, nms_thresh: float,
         lens = np.asarray([r.seq.shape[0] for r in batch["records"]]
                           + [0] * (batch["seq"].shape[0]
                                    - len(batch["records"])), np.int32)
+        motion = batch.get("motion")
         pred_cls, boxes, keeps = _predict_nms(
             model, variables, jnp.asarray(batch["seq"]),
             jnp.asarray(batch["mask"]), jnp.asarray(lens), num_scales,
-            nms_thresh)
+            nms_thresh,
+            motion=None if motion is None else jnp.asarray(motion),
+            motion_mask=None if motion is None
+            else jnp.asarray(batch["motion_mask"]))
         pred_cls = np.asarray(pred_cls)
         boxes = np.asarray(boxes)
         keeps = np.asarray(keeps)

@@ -1,19 +1,28 @@
-"""Fused Nystromformer attention as a single Pallas TPU kernel.
+"""Fused Nystromformer attention as a Pallas TPU kernel.
 
-Computes, per (batch, head) grid cell, everything between the QKV
-projection and the output projection of the Nystromformer block
-(reference `src/transformer/nystroformer.py:95-133`): masked landmark
-means, the three similarity softmaxes, the 6-step Newton-Schulz
-pseudo-inverse of the (m x m) landmark kernel, and the final
-``(attn1 @ pinv) @ (attn3 @ v)`` aggregation — entirely in VMEM, so none
-of the (N x m) / (m x N) intermediates round-trip through HBM.
+Fuses the compute-dense middle of the Nystromformer block (reference
+`src/transformer/nystroformer.py:115-133`): the three similarity matmuls +
+masked softmaxes, the 6-step Newton-Schulz pseudo-inverse of the (m x m)
+landmark kernel, and the ``(attn1 @ pinv) @ (attn3 @ v)`` aggregation — all
+per (batch, head) grid cell in VMEM, so the (N x m)/(m x m)/(m x N)
+intermediates never round-trip through HBM.
 
-Inputs must already be masked and q pre-scaled (the flax module does
-this); N must be a multiple of num_landmarks (the data pipeline's
-bucket_size=64 guarantees it).
+Mosaic constraints shape the decomposition:
+- landmark mean-pooling needs an (N,) -> (m, l) cross-lane reshape, which
+  Mosaic does not lower; the (cheap, bandwidth-bound) landmark sums are
+  computed outside and passed in.
+- masks arrive as broadcast-ready row/col tensors ((B, X, 1) / (B, 1, X))
+  so the kernel never reshapes vectors across lanes.
 
 The jnp path in models/nystromformer.py is the reference implementation;
 tests assert equivalence (interpret mode on CPU, compiled on TPU).
+
+Measured on TPU v5e-1 at the paper config (B=8, H=8, N=512, D=64):
+XLA path 0.021 ms/step vs this kernel 0.035 ms/step — at EDSNet's model
+sizes XLA's fusion is already near speed-of-light and parallelizes better
+across (batch, head) than a per-cell grid, so the XLA path is the default
+and the kernel is opt-in (``--use-pallas``) infrastructure for larger-N
+regimes.
 """
 from __future__ import annotations
 
@@ -27,41 +36,35 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, num_landmarks: int,
-            pinv_iterations: int, eps: float):
-    q = q_ref[0, 0]            # [N, D]
+def _kernel(q_ref, k_ref, v_ref, ql_ref, kl_ref, pos_row_ref, pos_col_ref,
+            lm_row_ref, lm_col_ref, out_ref, *, pinv_iterations: int):
+    q = q_ref[0, 0]            # [N, D] (pre-masked, pre-scaled)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    mask = mask_ref[0]         # [N] float (1.0 valid / 0.0 pad)
+    q_l = ql_ref[0, 0]         # [m, D] landmark means
+    k_l = kl_ref[0, 0]
+    pos_row = pos_row_ref[0] > 0   # [N, 1]
+    pos_col = pos_col_ref[0] > 0   # [1, N]
+    lm_row = lm_row_ref[0] > 0     # [m, 1]
+    lm_col = lm_col_ref[0] > 0     # [1, m]
+    m = q_l.shape[0]
 
-    n, d = q.shape
-    m = num_landmarks
-    l = n // m
-
-    counts = jnp.sum(mask.reshape(m, l), axis=1)              # [m]
-    divisor = (counts + eps)[:, None]
-    q_l = jnp.sum(q.reshape(m, l, d), axis=1) / divisor       # [m, D]
-    k_l = jnp.sum(k.reshape(m, l, d), axis=1) / divisor
-
-    pos_valid = mask > 0                                       # [N]
-    lm_valid = counts > 0                                      # [m]
-
-    sim1 = jnp.dot(q, k_l.T, preferred_element_type=jnp.float32)   # [N, m]
+    sim1 = jnp.dot(q, k_l.T, preferred_element_type=jnp.float32)    # [N, m]
     sim2 = jnp.dot(q_l, k_l.T, preferred_element_type=jnp.float32)  # [m, m]
-    sim3 = jnp.dot(q_l, k.T, preferred_element_type=jnp.float32)   # [m, N]
+    sim3 = jnp.dot(q_l, k.T, preferred_element_type=jnp.float32)    # [m, N]
 
-    sim1 = jnp.where(pos_valid[:, None] & lm_valid[None, :], sim1, NEG)
-    sim2 = jnp.where(lm_valid[:, None] & lm_valid[None, :], sim2, NEG)
-    sim3 = jnp.where(lm_valid[:, None] & pos_valid[None, :], sim3, NEG)
+    sim1 = jnp.where(pos_row & lm_col, sim1, NEG)
+    sim2 = jnp.where(lm_row & lm_col, sim2, NEG)
+    sim3 = jnp.where(lm_row & pos_col, sim3, NEG)
 
     attn1 = jax.nn.softmax(sim1, axis=-1)
     attn2 = jax.nn.softmax(sim2, axis=-1)
     attn3 = jax.nn.softmax(sim3, axis=-1)
 
     # Newton-Schulz pseudo-inverse of attn2 (nystroformer.py:13-28)
-    col = jnp.sum(jnp.abs(attn2), axis=-1)
-    row = jnp.sum(jnp.abs(attn2), axis=-2)
-    z = attn2.T / (jnp.max(col) * jnp.max(row))
+    col = jnp.max(jnp.sum(jnp.abs(attn2), axis=-1))
+    row = jnp.max(jnp.sum(jnp.abs(attn2), axis=-2))
+    z = attn2.T / (col * row)
     eye = jnp.eye(m, dtype=attn2.dtype)
 
     def body(_, z):
@@ -96,20 +99,39 @@ def nystrom_attention_pallas(q, k, v, mask, num_landmarks: int = 64,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, n, d = q.shape
-    assert n % num_landmarks == 0, (n, num_landmarks)
+    m = num_landmarks
+    assert n % m == 0, (n, m)
+    l = n // m
     maskf = jnp.asarray(mask, q.dtype)
 
-    spec_qkv = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+    # landmark sums / masked means (bandwidth-bound; fused by XLA)
+    counts = maskf.reshape(b, m, l).sum(axis=-1)                  # [B, m]
+    divisor = (counts + eps)[:, None, :, None]
+    q_l = q.reshape(b, h, m, l, d).sum(axis=3) / divisor
+    k_l = k.reshape(b, h, m, l, d).sum(axis=3) / divisor
+
+    pos_row = maskf[:, :, None]                                   # [B, N, 1]
+    pos_col = maskf[:, None, :]                                   # [B, 1, N]
+    lm = (counts > 0).astype(q.dtype)
+    lm_row = lm[:, :, None]                                       # [B, m, 1]
+    lm_col = lm[:, None, :]                                       # [B, 1, m]
+
+    def qkv_spec(rows):
+        return pl.BlockSpec((1, 1, rows, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_mask = pl.BlockSpec((1, n), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM)
+
+    def mask_spec(r, c):
+        return pl.BlockSpec((1, r, c), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        partial(_kernel, num_landmarks=num_landmarks,
-                pinv_iterations=pinv_iterations, eps=eps),
+        partial(_kernel, pinv_iterations=pinv_iterations),
         grid=(b, h),
-        in_specs=[spec_qkv, spec_qkv, spec_qkv, spec_mask],
-        out_specs=spec_qkv,
+        in_specs=[qkv_spec(n), qkv_spec(n), qkv_spec(n),
+                  qkv_spec(m), qkv_spec(m),
+                  mask_spec(n, 1), mask_spec(1, n),
+                  mask_spec(m, 1), mask_spec(1, m)],
+        out_specs=qkv_spec(n),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, maskf)
+    )(q, k, v, q_l, k_l, pos_row, pos_col, lm_row, lm_col)

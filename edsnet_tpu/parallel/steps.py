@@ -71,10 +71,17 @@ def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
     video_valid = batch["video_valid"] & (batch["num_pos"] > 0)
 
     def loss_fn(params):
-        pred_cls, pred_loc = state.apply_fn(
-            {"params": params, **(state.constants or {})},
-            batch["seq"], batch["mask"], deterministic=False,
-            rngs={"dropout": drop_rng})
+        if "motion" in batch:
+            pred_cls, pred_loc = state.apply_fn(
+                {"params": params, **(state.constants or {})},
+                batch["seq"], batch["motion"], batch["mask"],
+                batch["motion_mask"], deterministic=False,
+                rngs={"dropout": drop_rng})
+        else:
+            pred_cls, pred_loc = state.apply_fn(
+                {"params": params, **(state.constants or {})},
+                batch["seq"], batch["mask"], deterministic=False,
+                rngs={"dropout": drop_rng})
         loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"], cls_label)
         cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
         per_video = cls + lambda_reg * loc

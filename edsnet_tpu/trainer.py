@@ -38,8 +38,14 @@ logger = logging.getLogger()
 def _init_state(model, args, sample_batch) -> TrainState:
     rngs = {"params": jax.random.PRNGKey(args.seed),
             "dropout": jax.random.PRNGKey(args.seed + 1)}
-    variables = model.init(rngs, jnp.asarray(sample_batch["seq"]),
-                           jnp.asarray(sample_batch["mask"]))
+    if "motion" in sample_batch:
+        variables = model.init(rngs, jnp.asarray(sample_batch["seq"]),
+                               jnp.asarray(sample_batch["motion"]),
+                               jnp.asarray(sample_batch["mask"]),
+                               jnp.asarray(sample_batch["motion_mask"]))
+    else:
+        variables = model.init(rngs, jnp.asarray(sample_batch["seq"]),
+                               jnp.asarray(sample_batch["mask"]))
     params = variables["params"]
     constants = {k: v for k, v in variables.items() if k != "params"}
     tx = make_optimizer(args.lr, args.weight_decay)
@@ -78,6 +84,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     val_set = VideoDataset(split["test_keys"], args.data_root)
     val_records = [val_set[i] for i in range(len(val_set))]
 
+    if args.model_depth == "cross-attention":
+        missing = [it.key for it in items if it.motion is None]
+        if missing:
+            raise ValueError(
+                f"model-depth cross-attention needs 'motion_features' in "
+                f"the h5 for every video; missing for {missing[:3]}...")
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     rng = np.random.RandomState(args.seed)
