@@ -1,0 +1,91 @@
+"""Learnability: training on a learnable synthetic signal must beat init.
+
+Features carry the ground-truth importance directly in one subspace, and
+user summaries agree with gtscore; after a few dozen epochs the validation
+F-score must clearly exceed the untrained model's.  Catches loss-sign,
+masking, and optimizer-wiring bugs that shape tests cannot.
+"""
+import numpy as np
+import yaml
+
+
+def _make_learnable_h5(tmp_path, n_videos=8, feat=24):
+    import h5py
+    rng = np.random.RandomState(7)
+    signal = rng.randn(feat)
+    signal /= np.linalg.norm(signal)
+    h5_path = tmp_path / "mock_tvsum.h5"
+    with h5py.File(h5_path, "w") as f:
+        for i in range(n_videos):
+            n_seq = 24 + 4 * (i % 3)
+            n_frames = n_seq * 15
+            # blocky importance: a few contiguous important regions
+            score = np.zeros(n_seq, np.float32)
+            n_blocks = 3
+            for _ in range(n_blocks):
+                lo = rng.randint(0, n_seq - 4)
+                score[lo:lo + 4] = rng.uniform(0.7, 1.0)
+            score += rng.rand(n_seq) * 0.1
+
+            feats = rng.randn(n_seq, feat).astype(np.float32) * 0.3
+            feats += np.outer(score, signal).astype(np.float32)
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+
+            frame_scores = np.repeat(score, 15)[:n_frames]
+            user_summary = np.stack([
+                (frame_scores > np.quantile(frame_scores, 0.85)
+                 ).astype(np.float32)
+                for _ in range(2)])
+
+            # one shot per pick: the 15% budget packs ~3-4 shots, so F1
+            # degrades gracefully instead of hit-or-miss on a single shot
+            b = np.arange(0, n_frames + 1, 15, dtype=np.int32)
+            g = f.create_group(f"video_{i}")
+            g["features"] = feats
+            g["gtscore"] = score
+            g["change_points"] = np.stack([b[:-1], b[1:] - 1], 1)
+            g["n_frame_per_seg"] = b[1:] - b[:-1]
+            g["n_frames"] = n_frames
+            g["picks"] = np.arange(n_seq, dtype=np.int32) * 15
+            g["user_summary"] = user_summary
+    keys = [f"d/mock_tvsum.h5/video_{i}" for i in range(n_videos)]
+    split_path = tmp_path / "mock.yml"
+    # fit check: validate on the training videos (catches wiring bugs;
+    # generalization isn't the point of this test)
+    with open(split_path, "w") as f:
+        yaml.dump([{"train_keys": keys, "test_keys": keys[:4]}], f)
+    return split_path
+
+
+def test_anchor_based_learns(tmp_path):
+    """AB head on a learnable signal: F-score rises well above epoch 0.
+
+    (The anchor-free head's centerness multiplier is unconstrained at
+    negative positions by design — reference anchor_free/losses.py:90-97 —
+    so AF ranking needs reference-scale epoch counts; the AB head ranks by
+    cls alone and converges in ~100 epochs on this toy signal.)
+    """
+    import argparse
+
+    from edsnet_tpu.trainer import train
+    from edsnet_tpu.data.dataset import load_yaml
+
+    split_path = _make_learnable_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    args = argparse.Namespace(
+        model="anchor-based", model_depth="shallow", base_model="linear",
+        orientation="paper", pooling_type="roi", num_feature=24,
+        num_hidden=16, num_head=2, fc_depth=1, attention_depth=1,
+        encoder_type="classic", anchor_scales=(4,), lr=1e-3,
+        weight_decay=0.0, lambda_reg=1.0, lambda_ctr=1.0, cls_loss="focal",
+        reg_loss="soft-iou", nms_thresh=0.5, max_epoch=100, seed=0,
+        data_root=str(tmp_path), batch_size=8, bucket_size=32,
+        num_devices=0, model_dir=str(tmp_path / "m"), profile=False,
+        device_eval=False, resume=False,
+        neg_sample_ratio=2.0, incomplete_sample_ratio=1.0,
+        pos_iou_thresh=0.6, neg_iou_thresh=0.0, incomplete_iou_thresh=0.3)
+
+    best, f1_list, _ = train(args, split, tmp_path / "ckpt.pt")
+    assert best > f1_list[0] + 0.1, (best, f1_list[:5])
+    assert best > 0.45, (best, f1_list[::10])
