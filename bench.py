@@ -23,7 +23,28 @@ STEPS = 20
 WARMUP = 3
 
 
+def _timed_chain(k: int, run_k, x0) -> float:
+    """Run a k-iteration jitted chain and fence with a scalar fetch."""
+    t0 = time.perf_counter()
+    out = run_k(x0, jnp_int32(k))
+    _ = float(out)  # device_get is the only reliable fence on this stack
+    return time.perf_counter() - t0
+
+
+def jnp_int32(v):
+    import jax.numpy as jnp
+    return jnp.asarray(v, jnp.int32)
+
+
 def bench_ours() -> float:
+    """Slope-based timing: K predict steps inside one jitted fori_loop,
+    throughput from (t(K2) - t(K1)) / (K2 - K1).
+
+    Rationale: on tunneled platforms `block_until_ready` can return before
+    device completion and a host sync can cost seconds; running the whole
+    chain device-side and differencing two chain lengths cancels both the
+    dispatch and the sync overhead.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -36,29 +57,30 @@ def bench_ours() -> float:
         orientation="paper", pooling_type="roi")
 
     rng = np.random.RandomState(0)
-    # distinct inputs per step so no layer of the stack can cache/elide work
-    xs = [jnp.asarray(rng.randn(BATCH, SEQ_LEN, FEAT).astype(np.float32))
-          for _ in range(4)]
+    x0 = jnp.asarray(rng.randn(BATCH, SEQ_LEN, FEAT).astype(np.float32))
     mask = jnp.ones((BATCH, SEQ_LEN), bool)
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, xs[0], mask)
+    variables = model.init(rngs, x0, mask)
+
+    def body(i, x):
+        cls, boxes = model.apply(variables, x, mask, method="predict")
+        # feed a zero-scaled summary of the output back into the input so
+        # every iteration depends on the previous one
+        return x + 0.0 * (jnp.sum(cls) + jnp.sum(boxes))
 
     @jax.jit
-    def predict(v, seq, m):
-        return model.apply(v, seq, m, method="predict")
+    def run_k(x, k):
+        x = jax.lax.fori_loop(0, k, body, x)
+        return jnp.sum(x[0, 0])
 
-    for i in range(WARMUP + 1):
-        jax.block_until_ready(predict(variables, xs[i % len(xs)], mask))
+    for _ in range(WARMUP):
+        float(run_k(x0, jnp_int32(1)))
 
-    outs = []
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        cls, _ = predict(variables, xs[i % len(xs)], mask)
-        outs.append(cls)
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    frames = BATCH * SEQ_LEN * STEPS
-    return frames / dt
+    k1, k2 = 5, 55
+    t1 = min(_timed_chain(k1, run_k, x0) for _ in range(2))
+    t2 = min(_timed_chain(k2, run_k, x0) for _ in range(2))
+    step_time = max((t2 - t1) / (k2 - k1), 1e-9)
+    return BATCH * SEQ_LEN / step_time
 
 
 def bench_torch_baseline(budget_s: float = 60.0) -> float:
