@@ -38,17 +38,17 @@ class LinformerSelfAttention(nn.Module):
         assert n <= self.seq_len, f"sequence {n} exceeds seq_len {self.seq_len}"
 
         x = apply_mask(x, mask)
-        if n < self.seq_len:
-            x_kv = jnp.pad(x, ((0, 0), (0, self.seq_len - n), (0, 0)))
-        else:
-            x_kv = x
 
         q = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
                      name="to_q")(x)
+        # zero-padded rows beyond n contribute nothing to the (seq_len -> k)
+        # projections (bias-free K/V), so computing on the first n rows with
+        # the sliced projection is exactly the padded-to-seq_len result at a
+        # fraction of the cost (10x at N=512 vs the fixed 5000)
         keys = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
-                        name="to_k")(x_kv)
+                        name="to_k")(x)
         values = nn.Dense(dh * h, use_bias=False, kernel_init=XAVIER2,
-                          name="to_v")(x_kv)
+                          name="to_v")(x)
 
         # learned (seq_len, k) projections, uniform(-1/sqrt(k), 1/sqrt(k))
         # (linformer.py:12-16,35,40)
@@ -60,8 +60,8 @@ class LinformerSelfAttention(nn.Module):
         proj_k = self.param("proj_k", proj_init, (self.seq_len, kk))
         proj_v = self.param("proj_v", proj_init, (self.seq_len, kk))
 
-        keys = jnp.einsum("bnd,nk->bkd", keys, proj_k)
-        values = jnp.einsum("bnd,nk->bkd", values, proj_v)
+        keys = jnp.einsum("bnd,nk->bkd", keys, proj_k[:n])
+        values = jnp.einsum("bnd,nk->bkd", values, proj_v[:n])
 
         q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         keys = keys.reshape(b, kk, h, dh).transpose(0, 2, 1, 3)

@@ -30,7 +30,7 @@ class LSTMExtractor(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         b, n, _ = x.shape
         hidden = self.hidden or self.num_feature
-        ys = nn.RNN(nn.OptimizedLSTMCell(hidden), name="fwd")(
+        ys = nn.RNN(nn.OptimizedLSTMCell(hidden), unroll=8, name="fwd")(
             x, seq_lengths=_lengths(mask, b, n))
         if mask is not None:
             ys = ys * mask[..., None].astype(ys.dtype)
@@ -46,9 +46,9 @@ class BiLSTMExtractor(nn.Module):
         b, n, _ = x.shape
         hidden = self.num_feature // 2
         lengths = _lengths(mask, b, n)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name="fwd")(
+        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), unroll=8, name="fwd")(
             x, seq_lengths=lengths)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name="bwd")(
+        bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), unroll=8, name="bwd")(
             x, seq_lengths=lengths, reverse=True, keep_order=True)
         ys = jnp.concatenate([fwd, bwd], axis=-1)
         if mask is not None:
