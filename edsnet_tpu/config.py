@@ -132,6 +132,10 @@ def get_parser() -> argparse.ArgumentParser:
                              "of the reference's shared-weight trunk")
     parser.add_argument("--profile", action="store_true",
                         help="emit jax profiler traces + per-step timings")
+    parser.add_argument("--eval-every", type=int, default=1,
+                        help="validate every N epochs (reference: every "
+                             "epoch; eval dominates wall-clock on small "
+                             "datasets)")
     parser.add_argument("--device-eval", action="store_true",
                         help="run the full eval pipeline (NMS + knapsack + "
                              "F1) on device instead of host summary "

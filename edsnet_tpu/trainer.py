@@ -147,6 +147,9 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         epoch_metrics.clear()
         time_list.append(time.time() - start)
 
+        eval_every = max(getattr(args, "eval_every", 1), 1)
+        if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
+            continue
         variables = {"params": state.params, **(state.constants or {})}
         eval_fn = (evaluate_on_device if getattr(args, "device_eval", False)
                    else evaluate)
