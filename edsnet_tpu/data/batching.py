@@ -19,11 +19,17 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+import jax
+
 from edsnet_tpu.data.dataset import VideoDataset, VideoRecord
 from edsnet_tpu.ops import anchor_free as af_ops
 from edsnet_tpu.ops import anchors as anchor_ops
 from edsnet_tpu.ops import bbox as bbox_ops
 from edsnet_tpu.ops import summary as summ_ops
+
+
+def _round8(x: int) -> int:
+    return max(8, ((x + 7) // 8) * 8)
 
 
 @dataclass
@@ -66,29 +72,42 @@ def make_target(record: VideoRecord) -> Optional[np.ndarray]:
 
 
 def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
-                    pos_iou: float, neg_iou: float,
-                    inc_iou: float) -> Optional[TrainItem]:
+                    pos_iou: float, neg_iou: float, inc_iou: float,
+                    bucket_size: int = 64) -> Optional[TrainItem]:
     """Anchor-based labels for one video. (anchor_based/train.py:77-108)"""
     target = make_target(record)
     if target is None:
         return None
     n = target.shape[0]
+    # label math runs at bucketed shapes on the host CPU backend: per-video
+    # unique shapes would trigger one XLA compile each (pathological on a
+    # remote-compile TPU platform), and these arrays are tiny
+    n_pad = _bucket_len(n, bucket_size)
     target_bboxes = bbox_ops.seq2bbox(target)
     target_cw = np.asarray(bbox_ops.lr2cw(target_bboxes))
-    anchors = np.asarray(anchor_ops.get_anchors(n, anchor_scales))
+    t = target_cw.shape[0]
+    t_pad = _round8(t)
+    target_cw_pad = np.zeros((t_pad, 2), np.float32)
+    target_cw_pad[:t] = target_cw
+    target_cw_pad[t:, 1] = 1.0  # nonzero width keeps iou math finite
+    t_valid = np.arange(t_pad) < t
 
-    cls_pos, loc_label = anchor_ops.get_pos_label(anchors, target_cw, pos_iou)
-    cls_pos = np.asarray(cls_pos)
-    loc_label = np.asarray(loc_label)
+    with jax.default_device(jax.devices("cpu")[0]):
+        anchors = np.asarray(anchor_ops.get_anchors(n_pad, anchor_scales))
+        cls_pos, loc_label = anchor_ops.get_pos_label(
+            anchors, target_cw_pad, pos_iou, target_valid=t_valid)
+        cls_at_neg, _ = anchor_ops.get_pos_label(
+            anchors, target_cw_pad, neg_iou, target_valid=t_valid)
+        cls_at_inc, _ = anchor_ops.get_pos_label(
+            anchors, target_cw_pad, inc_iou, target_valid=t_valid)
+
+    cls_pos = np.asarray(cls_pos)[:n]
+    loc_label = np.asarray(loc_label)[:n]
     num_pos = int(cls_pos.sum())
-
-    cls_at_neg, _ = anchor_ops.get_pos_label(anchors, target_cw, neg_iou)
-    neg_eligible = np.asarray(cls_at_neg) == 0
-
-    cls_at_inc, _ = anchor_ops.get_pos_label(anchors, target_cw, inc_iou)
+    neg_eligible = np.asarray(cls_at_neg)[:n] == 0
     # reference forces entries with iou <= neg_iou to 1 so only the
     # "incomplete overlap" band stays eligible (train.py:103-104)
-    inc_eligible = (np.asarray(cls_at_inc) == 0) & ~neg_eligible
+    inc_eligible = (np.asarray(cls_at_inc)[:n] == 0) & ~neg_eligible
 
     return TrainItem(key=record.key, seq=record.seq, target=target,
                      cls_pos=cls_pos.astype(np.int32), loc_label=loc_label,
@@ -96,29 +115,37 @@ def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
                      num_pos=num_pos, motion=record.motion_features)
 
 
-def prepare_af_item(record: VideoRecord) -> Optional[TrainItem]:
+def prepare_af_item(record: VideoRecord,
+                    bucket_size: int = 64) -> Optional[TrainItem]:
     """Anchor-free labels for one video. (anchor_free/train.py:55-67)"""
     target = make_target(record)
     if target is None:
         return None
-    loc = np.asarray(af_ops.get_loc_label(target))
-    ctr = np.asarray(af_ops.get_ctr_label(target, loc))
+    n = target.shape[0]
+    n_pad = _bucket_len(n, bucket_size)
+    target_pad = np.zeros(n_pad, np.int32)
+    target_pad[:n] = target
+    with jax.default_device(jax.devices("cpu")[0]):
+        loc = np.asarray(af_ops.get_loc_label(target_pad))[:n]
+        ctr = np.asarray(af_ops.get_ctr_label(target_pad[:n], loc))
     return TrainItem(key=record.key, seq=record.seq, target=target,
-                     af_loc=loc, af_ctr=ctr)
+                     af_loc=loc, af_ctr=ctr,
+                     motion=record.motion_features)
 
 
 def prepare_items(dataset: VideoDataset, kind: str,
                   anchor_scales: Sequence[int] = (),
                   pos_iou: float = 0.6, neg_iou: float = 0.0,
-                  inc_iou: float = 0.3) -> List[TrainItem]:
+                  inc_iou: float = 0.3,
+                  bucket_size: int = 64) -> List[TrainItem]:
     items = []
     for i in range(len(dataset)):
         record = dataset[i]
         if kind == "anchor-based":
             item = prepare_ab_item(record, anchor_scales, pos_iou, neg_iou,
-                                   inc_iou)
+                                   inc_iou, bucket_size)
         else:
-            item = prepare_af_item(record)
+            item = prepare_af_item(record, bucket_size)
         if item is not None:
             items.append(item)
     return items

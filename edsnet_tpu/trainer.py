@@ -72,7 +72,7 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     items = batching.prepare_items(
         train_set, args.model, anchor_scales=args.anchor_scales,
         pos_iou=args.pos_iou_thresh, neg_iou=args.neg_iou_thresh,
-        inc_iou=args.incomplete_iou_thresh)
+        inc_iou=args.incomplete_iou_thresh, bucket_size=args.bucket_size)
     skipped = len(train_set) - len(items)
     if skipped:
         logger.info(f"skipped {skipped} videos (NaN gtscore / empty target)")
@@ -161,6 +161,8 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             stats.update(**{k: float(v) for k, v in m.items()})
         epoch_metrics.clear()
         time_list.append(time.time() - start)
+        if epoch < 3 or (epoch + 1) % 50 == 0:
+            logger.info(f"epoch {epoch} trained in {time_list[-1]:.2f}s")
 
         eval_every = max(getattr(args, "eval_every", 1), 1)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
