@@ -146,22 +146,22 @@ def nms_masked(scores, bboxes, thresh: float, valid=None) -> Array:
     # numpy argsort ascending is stable; reversed => desc with ties reversed.
     order = jnp.flip(jnp.argsort(scores, stable=True))
 
-    iou = iou_lr(bboxes[:, None, :], bboxes[None, :, :])  # [N, N]
+    # work in score-sorted space so the scan streams matrix rows as inputs
+    # instead of dynamically gathering them (compiles and runs much faster)
+    boxes_s = bboxes[order]
+    iou_s = iou_lr(boxes_s[:, None, :], boxes_s[None, :, :])   # [N, N]
+    suppress_s = iou_s >= thresh
+    alive_s = alive[order]
+    eye = jnp.eye(n, dtype=bool)
 
-    def body(carry, i):
-        alive_, keep_ = carry
-        cand = order[i]
-        take = alive_[cand]
-        keep_ = keep_.at[cand].set(take)
-        # suppress neighbours with iou >= thresh if we kept this box
-        suppress = take & (iou[cand] >= thresh)
-        alive_ = alive_ & ~suppress
-        # the kept box suppresses itself via iou=1; that's fine (already kept)
-        return (alive_, keep_), None
+    def body(alive_, xs):
+        row_suppress, onehot = xs
+        take = jnp.any(alive_ & onehot)
+        alive_ = alive_ & ~(take & row_suppress)
+        return alive_, take
 
-    keep0 = jnp.zeros((n,), bool)
-    (_, keep), _ = jax.lax.scan(body, (alive, keep0), jnp.arange(n))
-    return keep
+    _, keep_s = jax.lax.scan(body, alive_s, (suppress_s, eye))
+    return jnp.zeros((n,), bool).at[order].set(keep_s)
 
 
 def nms(scores: np.ndarray, bboxes: np.ndarray,

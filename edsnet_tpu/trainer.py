@@ -157,9 +157,6 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                 # sync and stall the dispatch pipeline
                 epoch_metrics.append(metrics)
 
-        for m in jax.device_get(epoch_metrics):
-            stats.update(**{k: float(v) for k, v in m.items()})
-        epoch_metrics.clear()
         time_list.append(time.time() - start)
         if epoch < 3 or (epoch + 1) % 50 == 0:
             logger.info(f"epoch {epoch} trained in {time_list[-1]:.2f}s")
@@ -167,6 +164,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         eval_every = max(getattr(args, "eval_every", 1), 1)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
             continue
+        # metrics are fetched only on eval epochs: on tunneled platforms a
+        # host sync costs seconds, so stats cover the window since the last
+        # eval rather than a single epoch
+        for m in jax.device_get(epoch_metrics):
+            stats.update(**{k: float(v) for k, v in m.items()})
+        epoch_metrics.clear()
         variables = {"params": state.params, **(state.constants or {})}
         eval_fn = (evaluate_on_device if getattr(args, "device_eval", False)
                    else evaluate)
