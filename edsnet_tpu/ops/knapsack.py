@@ -57,10 +57,18 @@ def knapsack(values: Iterable[int], weights: Iterable[int],
     """Solve 0/1 knapsack exactly; returns packed item indices.
 
     Host-side replacement for vsumm_helper.py:26-45 (ortools B&B).
+
+    Strategy: dense DP when the table is small (O(n * capacity), exact and
+    *predictable* — branch & bound degenerates exponentially on many
+    similar-density items, which is exactly what per-shot video scores look
+    like); the C++ B&B handles the huge-capacity regime where a DP table
+    would not fit.
     """
     values = np.asarray(list(values), dtype=np.int64)
     weights = np.asarray(list(weights), dtype=np.int64)
     capacity = int(capacity)
+    if values.size * max(capacity, 1) <= 50_000_000:
+        return _knapsack_numpy(values, weights, capacity)
     lib = _native_load()
     if lib is not None:
         return lib.knapsack(values, weights, capacity)

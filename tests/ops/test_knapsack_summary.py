@@ -145,3 +145,23 @@ def test_diversity():
     feats2 = np.ones((3, 2), dtype=np.float32)
     summ2 = np.ones(3, dtype=bool)
     assert math.isclose(vs.get_summ_diversity(summ2, feats2), 2.0)
+
+
+def test_knapsack_many_similar_items_fast():
+    """~400 similar-density items (real per-shot scores) must solve fast —
+    branch & bound degenerates exponentially here; the DP path must kick in."""
+    import time
+    rng = np.random.RandomState(0)
+    n = 400
+    values = rng.randint(400, 600, n)
+    weights = rng.randint(20, 40, n)
+    cap = 1500
+    t0 = time.perf_counter()
+    packed = ks.knapsack(values, weights, cap)
+    dt = time.perf_counter() - t0
+    assert dt < 5.0, f"knapsack took {dt:.1f}s"
+    assert weights[packed].sum() <= cap
+    # optimality cross-check against the pure DP
+    dp = ks._knapsack_numpy(np.asarray(values, np.int64),
+                            np.asarray(weights, np.int64), cap)
+    assert values[packed].sum() == values[dp].sum()
