@@ -171,8 +171,9 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             stats.update(**{k: float(v) for k, v in m.items()})
         epoch_metrics.clear()
         variables = {"params": state.params, **(state.constants or {})}
-        eval_fn = (evaluate_on_device if getattr(args, "device_eval", False)
-                   else evaluate)
+        use_dev_eval = (getattr(args, "device_eval", False)
+                        and args.model_depth != "cross-attention")
+        eval_fn = evaluate_on_device if use_dev_eval else evaluate
         val_fscore, _ = eval_fn(model, variables, val_records,
                                 args.nms_thresh,
                                 batch_size=max(args.batch_size, 1),
