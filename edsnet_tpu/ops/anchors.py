@@ -94,7 +94,8 @@ def get_neg_label(cls_label, num_neg, rng: jax.Array) -> Array:
     eligible = flat == 0
     u = jax.random.uniform(rng, flat.shape)
     u = jnp.where(eligible, u, jnp.inf)
-    rank = jnp.argsort(jnp.argsort(u))  # rank of each entry in ascending order
+    order = jnp.argsort(u)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     chosen = eligible & (rank < num_neg)
     out = jnp.where(chosen, -1, flat)
     return out.reshape(shape)

@@ -42,7 +42,8 @@ def _sample_marks(eligible, num, rng):
     flat = eligible.reshape(-1)
     u = jax.random.uniform(rng, flat.shape)
     u = jnp.where(flat, u, jnp.inf)
-    rank = jnp.argsort(jnp.argsort(u))
+    order = jnp.argsort(u)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
     return (flat & (rank < num)).reshape(shape)
 
 
