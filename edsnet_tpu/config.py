@@ -81,7 +81,7 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save-path", type=str, default=None)
     parser.add_argument("--feature-extractor", type=str, default="google-net",
                         choices=["google-net", "swin-transformer",
-                                 "convnext"])
+                                 "convnext", "random"])
 
     # common model config
     parser.add_argument("--base-model", type=str, default="attention",

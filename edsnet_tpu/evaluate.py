@@ -13,7 +13,7 @@ from __future__ import annotations
 import logging
 from functools import partial
 from pathlib import Path
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
