@@ -138,10 +138,16 @@ def main():
 
             val_set = VideoDataset(split["test_keys"], args.data_root)
             records = [val_set[i] for i in range(len(val_set))]
-            fscore, diversity = evaluate(model, variables, records,
-                                         args.nms_thresh,
-                                         batch_size=max(args.batch_size, 1),
-                                         bucket_size=args.bucket_size)
+            if getattr(args, "device_eval", False) \
+                    and args.model_depth != "cross-attention":
+                from edsnet_tpu.parallel.eval_device import evaluate_on_device
+                eval_fn = evaluate_on_device
+            else:
+                eval_fn = evaluate
+            fscore, diversity = eval_fn(model, variables, records,
+                                        args.nms_thresh,
+                                        batch_size=max(args.batch_size, 1),
+                                        bucket_size=args.bucket_size)
             stats.update(fscore=fscore, diversity=diversity)
             msg = (f"{split_path.stem} split {split_idx}: diversity: "
                    f"{diversity:.4f}, F-score: {fscore:.4f}")
