@@ -22,6 +22,20 @@ def dense(features: int, use_bias: bool = True, name: Optional[str] = None):
                     bias_init=BIAS01, name=name)
 
 
+def layer_norm(name: Optional[str] = None):
+    """torch ``nn.LayerNorm`` twin: eps 1e-5 (flax defaults to 1e-6).
+
+    Verified bitwise-relevant by tests/parity — the eps gap is visible at
+    the 1e-5 tolerance the cross-framework harness asserts.
+    """
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
+def gelu(x):
+    """torch ``nn.GELU()`` twin: exact erf form (flax defaults to tanh)."""
+    return nn.gelu(x, approximate=False)
+
+
 def masked_softmax(logits, mask=None, axis: int = -1):
     """Softmax with an optional boolean mask (False = excluded)."""
     if mask is not None:
@@ -56,4 +70,4 @@ class FcBlock(nn.Module):
         x = dense(self.num_hidden)(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.LayerNorm()(x)
+        return layer_norm()(x)

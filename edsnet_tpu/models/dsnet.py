@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edsnet_tpu.models.base import build_base_model
-from edsnet_tpu.models.common import FcBlock, apply_mask, dense
+from edsnet_tpu.models.common import FcBlock, apply_mask, dense, layer_norm
 from edsnet_tpu.models.encoder import ClassicEncoder, LocalGlobalEncoder
 from edsnet_tpu.models.poolings import Pooling, roi_multi_scale
 from edsnet_tpu.ops import anchors as anchor_ops
@@ -103,7 +103,7 @@ class DSNet(nn.Module):
                                self.num_head, self.orientation)(
             x, mask, deterministic)
         out = out + x
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
@@ -153,13 +153,13 @@ class DSNetOriginal(nn.Module):
         out = build_base_model(self.base_model, self.num_feature,
                                self.num_head)(x, mask, deterministic)
         out = out + x
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         out = apply_mask(out, mask)
         pooled = roi_multi_scale(out, scales)              # [B,N,S,F]
         h = dense(self.num_hidden, name="fc1")(pooled)
         h = nn.tanh(h)
         h = nn.Dropout(0.5)(h, deterministic=deterministic)
-        h = nn.LayerNorm(name="fc1_norm")(h)
+        h = layer_norm(name="fc1_norm")(h)
         pred_cls = nn.sigmoid(dense(1, name="fc_cls")(h)[..., 0])
         pred_loc = dense(2, name="fc_loc")(h)
         return pred_cls, pred_loc
@@ -259,19 +259,19 @@ class _CrossAttentionDecoderLayer(nn.Module):
             num_heads=self.nhead, name="self_attn")(
             tgt, tgt, mask=None if tgt_mask is None
             else tgt_mask[:, None, None, :])
-        tgt = nn.LayerNorm(name="norm1")(
+        tgt = layer_norm(name="norm1")(
             tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic))
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, name="cross_attn")(
             tgt, memory, mask=None if memory_mask is None
             else memory_mask[:, None, None, :])
-        tgt = nn.LayerNorm(name="norm2")(
+        tgt = layer_norm(name="norm2")(
             tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic))
         ff = dense(self.dim_feedforward, name="ff1")(tgt)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = dense(self.d_model, name="ff2")(ff)
-        return nn.LayerNorm(name="norm3")(
+        return layer_norm(name="norm3")(
             tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic))
 
 
@@ -314,12 +314,12 @@ class DSNetMotionFeatures(nn.Module):
                                      motion_mask, deterministic)
         out = out + dec
 
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         h = dense(self.num_hidden, name="fcb1")(out)
         h = dense(self.num_hidden, name="fcb2")(h)
         h = nn.relu(h)
         h = nn.Dropout(0.5)(h, deterministic=deterministic)
-        h = nn.LayerNorm(name="fcb_norm")(h)
+        h = layer_norm(name="fcb_norm")(h)
         h = apply_mask(h, mask)
         pooled = roi_multi_scale(h, scales)
         pred_cls = nn.sigmoid(dense(1, name="fc_cls")(pooled)[..., 0])

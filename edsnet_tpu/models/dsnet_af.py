@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edsnet_tpu.models.base import build_base_model
-from edsnet_tpu.models.common import dense
+from edsnet_tpu.models.common import dense, layer_norm
 from edsnet_tpu.models.dsnet import _FcTrunk
 from edsnet_tpu.models.encoder import LocalGlobalEncoder
 
@@ -60,7 +60,7 @@ class DSNetAF(nn.Module):
                                self.num_head, self.orientation)(
             x, mask, deterministic)
         out = out + x
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         return _AFHeads(name="heads")(out)
@@ -82,11 +82,11 @@ class DSNetAFOriginal(nn.Module):
         out = build_base_model(self.base_model, self.num_feature,
                                self.num_head)(x, mask, deterministic)
         out = out + x
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         h = dense(self.num_hidden, name="fc1")(out)
         h = nn.relu(h)
         h = nn.Dropout(0.5)(h, deterministic=deterministic)
-        h = nn.LayerNorm(name="fc1_norm")(h)
+        h = layer_norm(name="fc1_norm")(h)
         return _AFHeads(name="heads")(h)
 
     def predict(self, x, mask=None):
@@ -113,7 +113,7 @@ class DSNetAFDeepAttention(nn.Module):
                                self.num_head, self.orientation,
                                name="base_model2")(out1, mask, deterministic)
         out = x + out1 + out
-        out = nn.LayerNorm(name="layer_norm")(out)
+        out = layer_norm(name="layer_norm")(out)
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         return _AFHeads(name="heads")(out)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import BIAS01, XAVIER2, apply_mask, dense
+from edsnet_tpu.models.common import BIAS01, XAVIER2, apply_mask, dense, gelu, layer_norm
 from edsnet_tpu.ops.dwt import haar_dwt
 
 
@@ -32,12 +32,12 @@ class DwtNet(nn.Module):
 
         def fc_block(t, det):
             t = fc(t)
-            t = nn.gelu(t)
+            t = gelu(t)
             return nn.Dropout(self.dropout)(t, deterministic=det)
 
         ca, cd = haar_dwt(x, axis=1)          # [B, ceil(N/2), F]
         h = fc_block(ca, deterministic)
-        h = nn.LayerNorm(name="norm")(h + cd)
+        h = layer_norm(name="norm")(h + cd)
 
         # ConvTranspose1d(1, 1, kernel=2, stride=2): out[2i] = w0*h[i]+b,
         # out[2i+1] = w1*h[i]+b (dwt_attention.py:25,33)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edsnet_tpu.models.base import build_base_model
-from edsnet_tpu.models.common import dense, l2_normalize
+from edsnet_tpu.models.common import dense, l2_normalize, layer_norm
 
 
 class ClassicEncoder(nn.Module):
@@ -97,5 +97,5 @@ class LocalGlobalEncoder(nn.Module):
                            self.orientation, self.num_segments,
                            self.num_head, self.local_attention_head,
                            name="multi_attention")(x, mask, deterministic)
-        h = nn.LayerNorm(name="layer_norm")(h)
+        h = layer_norm(name="layer_norm")(h)
         return nn.relu(dense(self.num_feature, name="fc")(h))

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import apply_mask, dense
+from edsnet_tpu.models.common import apply_mask, dense, layer_norm
 
 
 def fft_mix(x, orientation: str):
@@ -40,11 +40,11 @@ class FNetLayer(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         x = apply_mask(x, mask)
         mixed = fft_mix(x, self.orientation)
-        x = nn.LayerNorm(name="skip_norm")(mixed + x)
+        x = layer_norm(name="skip_norm")(mixed + x)
         h = dense(self.num_feature, name="fc")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="out_norm")(h + x)
+        return layer_norm(name="out_norm")(h + x)
 
 
 class FNetModel(nn.Module):
@@ -67,4 +67,4 @@ class FNetModel(nn.Module):
         h = dense(self.num_feature, name="dense")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="dense_norm")(h)
+        return layer_norm(name="dense_norm")(h)

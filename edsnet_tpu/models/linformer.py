@@ -20,7 +20,7 @@ import math
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import XAVIER2, apply_mask, dense
+from edsnet_tpu.models.common import XAVIER2, apply_mask, dense, gelu, layer_norm
 
 
 class LinformerSelfAttention(nn.Module):
@@ -89,14 +89,14 @@ class Linformer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         for i in range(self.depth):
-            a = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            a = layer_norm(name=f"attn_norm_{i}")(x)
             a = LinformerSelfAttention(
                 self.dim, self.seq_len, self.k, self.heads, self.dim_head,
                 self.dropout, name=f"attn_{i}")(a, mask, deterministic)
             x = a + x
-            f = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            f = layer_norm(name=f"ff_norm_{i}")(x)
             f = dense(self.mlp_dim, name=f"ff1_{i}")(f)
-            f = nn.gelu(f)
+            f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = dense(self.dim, name=f"ff2_{i}")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

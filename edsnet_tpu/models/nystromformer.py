@@ -28,7 +28,7 @@ from edsnet_tpu.models.common import XAVIER2, BIAS01
 NEG = -1e30
 
 
-def moore_penrose_pinv(x, iters: int = 6):
+def moore_penrose_pinv(x, iters: int = 6, global_init: bool = False):
     """Newton–Schulz iterative pseudo-inverse. (nystroformer.py:13-28)
 
     Deviation: the z0 scaling uses per-matrix (batch, head) maxima of the
@@ -36,11 +36,18 @@ def moore_penrose_pinv(x, iters: int = 6):
     whole batch (an einops artifact at nystroformer.py:19).  Both are valid
     NS initializations converging to the same pseudo-inverse; per-matrix
     conditioning is tighter and matches the fused Pallas kernel exactly.
+    ``global_init=True`` reproduces the reference's global-max z0 bitwise
+    (used by the cross-framework parity harness in tests/parity/).
     """
     abs_x = jnp.abs(x)
-    col = jnp.max(jnp.sum(abs_x, axis=-1), axis=-1, keepdims=True)
-    row = jnp.max(jnp.sum(abs_x, axis=-2), axis=-1, keepdims=True)
-    z = jnp.swapaxes(x, -1, -2) / (col * row)[..., None]
+    if global_init:
+        col = jnp.max(jnp.sum(abs_x, axis=-1))
+        row = jnp.max(jnp.sum(abs_x, axis=-2))
+        z = jnp.swapaxes(x, -1, -2) / (col * row)
+    else:
+        col = jnp.max(jnp.sum(abs_x, axis=-1), axis=-1, keepdims=True)
+        row = jnp.max(jnp.sum(abs_x, axis=-2), axis=-1, keepdims=True)
+        z = jnp.swapaxes(x, -1, -2) / (col * row)[..., None]
 
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
@@ -54,7 +61,8 @@ def moore_penrose_pinv(x, iters: int = 6):
 
 
 def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
-                     pinv_iterations: int, eps: float = 1e-8):
+                     pinv_iterations: int, eps: float = 1e-8,
+                     pinv_global_init: bool = False):
     """Landmark attention core. q/k/v: [B, H, N, D] (masked, q scaled);
     mask: [B, N] or None. Returns [B, H, N, D]."""
     b, h, n_p, d = q.shape
@@ -89,7 +97,8 @@ def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
     attn1 = nn.softmax(sim1, axis=-1)
     attn2 = nn.softmax(sim2, axis=-1)
     attn3 = nn.softmax(sim3, axis=-1)
-    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
+    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations,
+                                   global_init=pinv_global_init)
 
     return (attn1 @ attn2_inv) @ (attn3 @ v)
 
@@ -105,6 +114,8 @@ class NystromAttention(nn.Module):
     eps: float = 1e-8
     dropout: float = 0.0
     use_pallas: bool = False
+    # reference-exact z0 for the NS pinv (see moore_penrose_pinv)
+    pinv_global_init: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -113,15 +124,17 @@ class NystromAttention(nn.Module):
         h, m = self.heads, self.num_landmarks
         inner = h * self.dim_head
 
-        # pad the front so n is a multiple of m (reference pads with zeros
-        # and masks; with bucketed inputs this is usually a no-op)
+        # pad the front so n is a multiple of m.  The reference zero-pads
+        # WITHOUT fabricating a mask when none was passed
+        # (nystroformer.py:72-78): pad rows then enter the landmark means
+        # with divisor l.  Reproduced exactly; a caller-supplied mask is
+        # extended with False over the pad.
         remainder = n % m
         pad = (m - remainder) if remainder > 0 else 0
         if pad:
             x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-            if mask is None:
-                mask = jnp.ones((b, n), bool)
-            mask = jnp.pad(mask, ((0, 0), (pad, 0)))
+            if mask is not None:
+                mask = jnp.pad(mask, ((0, 0), (pad, 0)))
         n_p = n + pad
 
         qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=XAVIER2,
@@ -153,7 +166,7 @@ class NystromAttention(nn.Module):
                 pinv_iterations=self.pinv_iterations, eps=self.eps)
         else:
             out = nystrom_core_jnp(q, k, v, mask, m, self.pinv_iterations,
-                                   self.eps)
+                                   self.eps, self.pinv_global_init)
 
         if self.residual:
             # depthwise conv over time per head (nystroformer.py:65,137-138)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import XAVIER2, BIAS01, dense
+from edsnet_tpu.models.common import XAVIER2, BIAS01, dense, gelu, layer_norm
 
 
 def orthogonal_gaussian(rng, nb_rows: int, nb_cols: int, scaling: int = 0):
@@ -130,13 +130,13 @@ class Performer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         for i in range(self.depth):
-            a = nn.LayerNorm(name=f"attn_norm_{i}")(x)
+            a = layer_norm(name=f"attn_norm_{i}")(x)
             a = FastSelfAttention(self.dim, self.heads, self.dim_head,
                                   name=f"attn_{i}")(a, mask, deterministic)
             x = a + x
-            f = nn.LayerNorm(name=f"ff_norm_{i}")(x)
+            f = layer_norm(name=f"ff_norm_{i}")(x)
             f = dense(self.mlp_dim, name=f"ff1_{i}")(f)
-            f = nn.gelu(f)
+            f = gelu(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)
             f = dense(self.dim, name=f"ff2_{i}")(f)
             f = nn.Dropout(self.dropout)(f, deterministic=deterministic)

@@ -29,7 +29,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from edsnet_tpu.models.common import BIAS01, XAVIER2
+from edsnet_tpu.models.common import BIAS01, XAVIER2, gelu
 from edsnet_tpu.ops import window_linear as wl
 from edsnet_tpu.ops.dwt import haar_dwt
 
@@ -105,7 +105,7 @@ class Pooling(nn.Module):
             else:
                 raise ValueError(
                     f"Invalid pooling type {self.pooling_type}")
-            fine = nn.gelu(wl.windowed_linear(x, folded, bias))
+            fine = gelu(wl.windowed_linear(x, folded, bias))
             return (fine,) if coarse is None else (coarse, fine)
 
         w = extract_windows(x, scale)                  # [B, N, s, H]
@@ -113,13 +113,13 @@ class Pooling(nn.Module):
             spec = jnp.fft.fft(w, axis=2).real
             coarse = spec.mean(axis=2)
             fine = spec.reshape(b, n, scale * h) @ kernel + bias
-            return coarse, nn.gelu(fine)
+            return coarse, gelu(fine)
         if self.pooling_type == "dwt":
             ca, _ = haar_dwt(w, axis=2)                # [B, N, s//2, H]
             coarse = ca.mean(axis=2)
             fine = ca.reshape(b, n, (scale // 2) * h) @ kernel + bias
-            return coarse, nn.gelu(fine)
+            return coarse, gelu(fine)
         if self.pooling_type == "flat-pooling":
             fine = w.reshape(b, n, scale * h) @ kernel + bias
-            return (nn.gelu(fine),)
+            return (gelu(fine),)
         raise ValueError(f"Invalid pooling type {self.pooling_type}")
