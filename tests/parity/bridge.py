@@ -15,7 +15,11 @@ import numpy as np
 
 
 def t2n(t):
-    return np.asarray(t.detach().cpu().numpy())
+    # np.array (copy) rather than np.asarray (view): jnp.asarray on CPU can
+    # alias aligned numpy buffers zero-copy, so a view of torch storage
+    # would let later in-place torch optimizer steps silently mutate the
+    # "converted" jax params (bit us in the trajectory tests).
+    return np.array(t.detach().cpu().numpy())
 
 
 def lin(sd, p, bias=True):
@@ -167,3 +171,185 @@ def local_global_params(tmod, base_type, num_feature, num_segments):
     }
     constants = {"multi_attention": consts} if consts else None
     return params, constants
+
+
+# ------------------------------------------------------- full head models
+
+def dsnet_params(tmod, base_type, pooling_type, num_feature):
+    """Reference anchor_based.dsnet.DSNet -> our models.dsnet.DSNet."""
+    sd = tmod.state_dict()
+    bp, bc = backbone_params(base_type, tmod.base_model, num_feature)
+    params = {
+        "base_model": bp,
+        "layer_norm": ln(sd, "layer_norm"),
+        "trunk": fc_trunk_params(sd),
+        "heads": ab_heads_params(sd),
+    }
+    if pooling_type in ("fft", "dwt", "flat-pooling"):
+        params["pooling"] = pooling_params(sd, "poolings")
+    constants = {"base_model": bc} if bc else None
+    return params, constants
+
+
+def dsnet_original_params(tmod, num_feature):
+    sd = tmod.state_dict()
+    bp, _ = backbone_params("attention", tmod.base_model, num_feature)
+    return {
+        "base_model": bp,
+        "layer_norm": ln(sd, "layer_norm"),
+        "fc1": lin(sd, "fc1.0"),
+        "fc1_norm": ln(sd, "fc1.3"),
+        "fc_cls": lin(sd, "fc_cls"),
+        "fc_loc": lin(sd, "fc_loc"),
+    }
+
+
+def dsnet_deep_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    bp, bc = backbone_params(base_type, tmod.base_model1, num_feature)
+    params = {
+        "base_model1": bp,
+        "trunk": fc_trunk_params(sd),
+        "heads": ab_heads_params(sd),
+    }
+    constants = {"base_model1": bc} if bc else None
+    return params, constants
+
+
+def dsnet_multi_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    lg, lgc = local_global_params(tmod.multiattentionblock, base_type,
+                                  num_feature, num_segments=4)
+    params = {
+        "multiattentionblock": lg,
+        "trunk": fc_trunk_params(sd),
+        "heads": ab_heads_params(sd),
+    }
+    constants = {"multiattentionblock": lgc} if lgc else None
+    return params, constants
+
+
+def dsnet_af_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    bp, bc = backbone_params(base_type, tmod.base_model, num_feature)
+    params = {
+        "base_model": bp,
+        "layer_norm": ln(sd, "layer_norm"),
+        "trunk": fc_trunk_params(sd),
+        "heads": af_heads_params(sd),
+    }
+    constants = {"base_model": bc} if bc else None
+    return params, constants
+
+
+def dsnet_af_original_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    bp, _ = backbone_params(base_type, tmod.base_model, num_feature)
+    return {
+        "base_model": bp,
+        "layer_norm": ln(sd, "layer_norm"),
+        "fc1": lin(sd, "fc1.0"),
+        "fc1_norm": ln(sd, "fc1.3"),
+        "heads": af_heads_params(sd),
+    }
+
+
+def dsnet_af_deep_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    b1, _ = backbone_params(base_type, tmod.base_model1, num_feature)
+    b2, _ = backbone_params(base_type, tmod.base_model2, num_feature)
+    return {
+        "base_model1": b1,
+        "base_model2": b2,
+        "layer_norm": ln(sd, "layer_norm"),
+        "trunk": fc_trunk_params(sd),
+        "heads": af_heads_params(sd),
+    }
+
+
+def dsnet_af_multi_params(tmod, base_type, num_feature):
+    sd = tmod.state_dict()
+    lg, lgc = local_global_params(tmod.multiattention, base_type,
+                                  num_feature, num_segments=4)
+    params = {
+        "multiattention": lg,
+        "trunk": fc_trunk_params(sd),
+        "heads": af_heads_params(sd),
+    }
+    constants = {"multiattention": lgc} if lgc else None
+    return params, constants
+
+
+def mha_torch_to_flax(sd, prefix, num_heads, d_model):
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    dh = d_model // num_heads
+    w = t2n(sd[prefix + ".in_proj_weight"])     # (3F, F)
+    b = t2n(sd[prefix + ".in_proj_bias"])       # (3F,)
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        wi = w[i * d_model:(i + 1) * d_model]   # (F, F): y = x @ wi.T
+        bi = b[i * d_model:(i + 1) * d_model]
+        out[name] = {"kernel": wi.T.reshape(d_model, num_heads, dh),
+                     "bias": bi.reshape(num_heads, dh)}
+    wo = t2n(sd[prefix + ".out_proj.weight"])   # (F, F)
+    bo = t2n(sd[prefix + ".out_proj.bias"])
+    out["out"] = {"kernel": wo.T.reshape(num_heads, dh, d_model),
+                  "bias": bo}
+    return out
+
+
+def decoder_layer_params(sd, prefix, num_heads=8, d_model=1024):
+    """torch nn.TransformerDecoderLayer -> our _CrossAttentionDecoderLayer."""
+    return {
+        "self_attn": mha_torch_to_flax(sd, prefix + ".self_attn",
+                                       num_heads, d_model),
+        "cross_attn": mha_torch_to_flax(sd, prefix + ".multihead_attn",
+                                        num_heads, d_model),
+        "ff1": lin(sd, prefix + ".linear1"),
+        "ff2": lin(sd, prefix + ".linear2"),
+        "norm1": ln(sd, prefix + ".norm1"),
+        "norm2": ln(sd, prefix + ".norm2"),
+        "norm3": ln(sd, prefix + ".norm3"),
+    }
+
+
+def motion_params(tmod, base_type, num_feature, attention_depth):
+    """Reference DSNetMotionFeatures -> our DSNetMotionFeatures."""
+    sd = tmod.state_dict()
+    enc_sd = tmod.encoder.state_dict()
+    bp, _ = backbone_params(base_type, tmod.encoder.base_model, num_feature)
+    params = {
+        "encoder": {
+            "base_model": bp,
+            "fc1": lin(enc_sd, "fc1"),
+        },
+        "layer_norm": ln(sd, "layer_norm"),
+        "fcb1": lin(sd, "fc_block.0"),
+        "fcb2": lin(sd, "fc_block.1"),
+        "fcb_norm": ln(sd, "fc_block.4"),
+        "fc_cls": lin(sd, "fc_cls"),
+        "fc_loc": lin(sd, "fc_loc"),
+    }
+    for i in range(attention_depth):
+        params[f"decoder_{i}"] = decoder_layer_params(
+            sd, f"multiheadcrossattention.layers.{i}")
+    return params
+
+
+def linformer_params(tmod):
+    """Reference transformer.linformer.Linformer -> our Linformer."""
+    sd = tmod.state_dict()
+    return {
+        "attn_norm_0": ln(sd, "layers.0.0.norm"),
+        "attn_0": {
+            "to_q": lin(sd, "layers.0.0.fn.to_q", bias=False),
+            "to_k": lin(sd, "layers.0.0.fn.to_k", bias=False),
+            "to_v": lin(sd, "layers.0.0.fn.to_v", bias=False),
+            "to_out": lin(sd, "layers.0.0.fn.to_out"),
+            "proj_k": t2n(sd["layers.0.0.fn.proj_k"]),
+            "proj_v": t2n(sd["layers.0.0.fn.proj_v"]),
+        },
+        "ff_norm_0": ln(sd, "layers.0.1.norm"),
+        "ff1_0": lin(sd, "layers.0.1.fn.net.0"),
+        "ff2_0": lin(sd, "layers.0.1.fn.net.3"),
+    }
