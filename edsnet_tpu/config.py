@@ -145,6 +145,11 @@ def get_parser() -> argparse.ArgumentParser:
                                  "tensorfloat32", "float32"],
                         help="jax default matmul precision (TPU MXU runs "
                              "bf16-ish by 'default'; 'highest' forces f32)")
+    parser.add_argument("--static-batches", action="store_true",
+                        help="freeze batch compositions across epochs "
+                             "(round-1 behavior); default recomposes "
+                             "batches per epoch on device, matching the "
+                             "reference's per-epoch video reshuffle")
     parser.add_argument("--resume", action="store_true",
                         help="resume training from the saved train state "
                              "(model + optimizer + epoch) if present")

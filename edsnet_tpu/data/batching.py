@@ -236,6 +236,23 @@ def _stack_chunk(chunk: List[TrainItem], blen: int,
     return batch
 
 
+def pool_items(items: List[TrainItem], bucket_size: int
+               ) -> List[Dict[str, np.ndarray]]:
+    """Stack ALL of each length-bucket's videos into one device-resident
+    pool (no batch padding).  Per-epoch batches are then composed on device
+    by gathering rows from the pool — recomposition costs an on-device
+    gather, not a host re-upload, so the fast batch_size>1 path can
+    reshuffle batch membership every epoch like the reference's video loop
+    (src/anchor_based/train.py:70-77) instead of freezing compositions.
+    """
+    buckets: Dict[int, List[TrainItem]] = {}
+    for item in items:
+        blen = _bucket_len(item.seq.shape[0], bucket_size)
+        buckets.setdefault(blen, []).append(item)
+    return [_stack_chunk(group, blen, pad_batch_to=1)
+            for blen, group in sorted(buckets.items())]
+
+
 def batch_eval_records(records: List[VideoRecord], batch_size: int,
                        bucket_size: int,
                        pad_batch_to: int = 1) -> Iterator[Dict]:

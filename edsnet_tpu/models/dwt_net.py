@@ -36,6 +36,20 @@ class DwtNet(nn.Module):
             return nn.Dropout(self.dropout)(t, deterministic=det)
 
         ca, cd = haar_dwt(x, axis=1)          # [B, ceil(N/2), F]
+        if mask is not None:
+            # exact pywt symmetric-boundary semantics at the true length:
+            # for odd n the last real pair is (x[n-1], x[n-1]) ->
+            # cA = sqrt(2) * x[n-1], cD = 0, whereas the zero-padded bucket
+            # computed (x[n-1] + 0) / sqrt(2).  Coefficients strictly inside
+            # the true length are pad-independent, so only this one slot
+            # needs patching (dwt_attention.py:13, pywt mode='symmetric').
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)   # [B]
+            even_pos = jnp.arange(ca.shape[1]) * 2               # [M]
+            boundary = (even_pos[None, :] == lengths[:, None] - 1)
+            even_vals = x[:, 0::2, :]
+            ca = jnp.where(boundary[..., None],
+                           even_vals * jnp.asarray(2.0 ** 0.5, x.dtype), ca)
+            cd = jnp.where(boundary[..., None], 0.0, cd)
         h = fc_block(ca, deterministic)
         h = layer_norm(name="norm")(h + cd)
 

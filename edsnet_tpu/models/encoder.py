@@ -6,7 +6,6 @@ evident intent: residual around the base model, then fc.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp
@@ -37,8 +36,16 @@ class MultiAttention(nn.Module):
 
     Each of the ``num_segments`` contiguous chunks gets its own local
     attention; the chunk output is L2-normalized and added to the
-    L2-normalized global path.  Segment boundaries use the bucket length
-    (the reference uses the runtime length; identical when unpadded).
+    L2-normalized global path.
+
+    Length semantics match the reference exactly: segment boundaries come
+    from the *true* per-video length (``ceil(n / num_segments)``,
+    encoder.py:46), not the bucket length.  Since true lengths vary inside
+    a padded batch, each video's segment s is gathered into a
+    segment-aligned buffer (start shifted to 0, zero-padded, masked), run
+    through that segment's module, and scattered back — so every base
+    model, including position-dependent ones (LSTM state, DWT pairing,
+    true-length DFT), sees exactly the slice the reference would.
     """
     num_feature: int
     base_model: str
@@ -60,26 +67,40 @@ class MultiAttention(nn.Module):
             return weighted
         assert self.num_segments >= 2, "num_segments must be >= 2"
 
-        n = x.shape[-2]
-        segment_size = math.ceil(n / self.num_segments)
-        pieces = []
-        for seg in range(self.num_segments):
-            lo = seg * segment_size
-            hi = min((seg + 1) * segment_size, n)
-            if lo >= hi:
-                continue
-            local_x = x[:, lo:hi, :]
-            local_mask = None if mask is None else mask[:, lo:hi]
+        b, n, f = x.shape
+        n_seg = self.num_segments
+        if mask is None:
+            lengths = jnp.full((b,), n, jnp.int32)
+        else:
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        seg_size = -(-lengths // n_seg)                # ceil, per video [B]
+        buf = -(-n // n_seg)                           # static buffer length
+        t = jnp.arange(buf)
+        pos = jnp.arange(n)
+
+        out = weighted
+        for seg in range(n_seg):
+            start = seg * seg_size                     # [B]
+            end = jnp.minimum((seg + 1) * seg_size, lengths)
+            idx = start[:, None] + t[None, :]          # [B, buf]
+            seg_valid = idx < end[:, None]
+            seg_x = jnp.take_along_axis(
+                x, jnp.clip(idx, 0, n - 1)[..., None], axis=1)
+            seg_x = seg_x * seg_valid[..., None].astype(x.dtype)
             local = build_base_model(
                 self.base_model, self.num_feature,
                 self.local_attention_head, self.orientation,
-                name=f"local_attention_{seg}")(local_x, local_mask,
+                name=f"local_attention_{seg}")(seg_x, seg_valid,
                                                deterministic)
             local_w = nn.relu(fc(local))
-            combined = l2_normalize(weighted[:, lo:hi, :]) \
-                + l2_normalize(local_w)
-            pieces.append(combined)
-        return jnp.concatenate(pieces, axis=1)
+            # scatter back: global position j maps to local slot j - start
+            rel = pos[None, :] - start[:, None]        # [B, n]
+            in_seg = (rel >= 0) & (pos[None, :] < end[:, None])
+            back = jnp.take_along_axis(
+                local_w, jnp.clip(rel, 0, buf - 1)[..., None], axis=1)
+            combined = l2_normalize(weighted) + l2_normalize(back)
+            out = jnp.where(in_seg[..., None], combined, out)
+        return out
 
 
 class LocalGlobalEncoder(nn.Module):

@@ -32,6 +32,22 @@ def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformati
     )
 
 
+def resolve_batch(batch: Dict) -> Dict:
+    """Materialize a gather-composed batch inside the jitted step.
+
+    A batch is either explicit arrays, or a device-resident length-bucket
+    ``pool`` plus per-step row indices (``gather_idx``) and a validity
+    vector — the on-device recomposition path (data/batching.py:pool_items).
+    The gather fuses into the step program; no host transfer occurs.
+    """
+    if "pool" not in batch:
+        return batch
+    idx = batch["gather_idx"]
+    out = {k: v[idx] for k, v in batch["pool"].items()}
+    out["video_valid"] = batch["video_valid"]
+    return out
+
+
 def _sample_marks(eligible, num, rng):
     """Mark `num` random entries among `eligible` (rank-of-random).
 
@@ -67,6 +83,7 @@ def build_ab_cls_labels(batch: Dict, rng, neg_ratio: float, inc_ratio: float):
 def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
                   neg_ratio: float, inc_ratio: float):
     """One anchor-based step over a padded batch. (anchor_based/train.py:77-131)"""
+    batch = resolve_batch(batch)
     drop_rng, label_rng = jax.random.split(rng)
     cls_label = build_ab_cls_labels(batch, label_rng, neg_ratio, inc_ratio)
     video_valid = batch["video_valid"] & (batch["num_pos"] > 0)
@@ -103,6 +120,7 @@ def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
 def af_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
                   lambda_ctr: float, cls_kind: str, reg_kind: str):
     """One anchor-free step over a padded batch. (anchor_free/train.py:55-88)"""
+    batch = resolve_batch(batch)
     video_valid = batch["video_valid"]
 
     def loss_fn(params):

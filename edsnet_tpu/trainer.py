@@ -26,7 +26,9 @@ from edsnet_tpu.data.dataset import AverageMeter, VideoDataset
 from edsnet_tpu.evaluate import evaluate
 from edsnet_tpu.parallel.eval_device import evaluate_on_device
 from edsnet_tpu.models.model_zoo import get_model
-from edsnet_tpu.parallel import make_mesh, shard_batch
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from edsnet_tpu.parallel import make_mesh, replicate, shard_batch
 from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
                                        af_train_step, make_optimizer)
 from edsnet_tpu.utils import checkpoint as ckpt_lib
@@ -114,21 +116,47 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     timer = StepTimer()
     profile_dir = str(Path(args.model_dir) / "profile")
 
-    # Upload batches to the device once and reuse across epochs: the videos
-    # never change, so per-epoch host->device re-uploads are pure waste
-    # (23 MB/batch at B=8,N=704 — dominant on a tunneled platform).  With
-    # the parity default batch_size=1 the composition is per-video anyway,
-    # so only the visit ORDER shuffles, exactly like the reference; for
-    # batch_size>1 the batch composition is fixed across epochs (standard
-    # pre-batched pipeline semantics) while negative sampling stays
-    # per-step random on device.
-    device_batches = [
-        shard_batch(_array_batch(b), mesh)
-        for b in batching.batch_items(items, args.batch_size,
-                                      args.bucket_size, shuffle=False,
-                                      pad_batch_to=n_dev)]
-    frames_per_batch = [int(np.sum(np.asarray(b["mask"])))
-                        for b in device_batches]
+    # Videos are uploaded to the device ONCE, grouped by length bucket, and
+    # every epoch's batches are composed on device by gathering rows from
+    # the resident pools: per-epoch reshuffling of batch MEMBERSHIP (the
+    # reference's video loop reshuffles every epoch,
+    # anchor_based/train.py:70-77) at zero host-transfer cost (23 MB/batch
+    # at B=8,N=704 would dominate on a tunneled platform).
+    # ``--static-batches`` keeps round-1 behavior: fixed compositions,
+    # shuffled visit order (identical regimes at batch_size=1 either way).
+    static = bool(getattr(args, "static_batches", False))
+    if static:
+        device_batches = [
+            shard_batch(_array_batch(b), mesh)
+            for b in batching.batch_items(items, args.batch_size,
+                                          args.bucket_size, shuffle=False,
+                                          pad_batch_to=n_dev)]
+        frames_per_batch = [int(np.sum(np.asarray(b["mask"])))
+                            for b in device_batches]
+    else:
+        pools = batching.pool_items(items, args.bucket_size)
+        pool_lengths = [np.sum(np.asarray(p["mask"]), axis=1)
+                        for p in pools]   # [count] true frames per video
+        device_pools = [replicate(_array_batch(p), mesh) for p in pools]
+        idx_sharding = NamedSharding(mesh, P("data"))
+
+    def compose_epoch():
+        """Host-side plan: (pool_id, gather_idx, video_valid, frames)."""
+        plan = []
+        for pi, pool in enumerate(pools):
+            count = pool["video_valid"].shape[0]
+            perm = rng.permutation(count)
+            for lo in range(0, count, args.batch_size):
+                chunk = perm[lo:lo + args.batch_size]
+                b_pad = -(-len(chunk) // n_dev) * n_dev
+                idx = np.zeros(b_pad, np.int32)
+                idx[:len(chunk)] = chunk
+                valid = np.zeros(b_pad, bool)
+                valid[:len(chunk)] = True
+                plan.append((pi, idx, valid,
+                             int(pool_lengths[pi][chunk].sum())))
+        rng.shuffle(plan)
+        return plan
 
     epoch_metrics: List = []
     for epoch in range(start_epoch, args.max_epoch):
@@ -136,9 +164,17 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         stats = AverageMeter("loss", "cls_loss", "loc_loss", "ctr_loss")
 
         with maybe_trace(args.profile and epoch == 1, profile_dir):
-            order = rng.permutation(len(device_batches))
-            for bi in order:
-                dev_batch = device_batches[bi]
+            if static:
+                order = rng.permutation(len(device_batches))
+                todo = [(device_batches[bi], frames_per_batch[bi])
+                        for bi in order]
+            else:
+                todo = [({"pool": device_pools[pi],
+                          "gather_idx": jax.device_put(idx, idx_sharding),
+                          "video_valid": jax.device_put(valid, idx_sharding)},
+                         frames)
+                        for pi, idx, valid, frames in compose_epoch()]
+            for dev_batch, frames in todo:
                 step_rng, sub = jax.random.split(step_rng)
                 timer.start()
                 if is_ab:
@@ -151,7 +187,7 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                         state, dev_batch, sub, lambda_reg=args.lambda_reg,
                         lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
                         reg_kind=args.reg_loss)
-                timer.stop(frames_per_batch[bi],
+                timer.stop(frames,
                            sync=metrics["loss"] if args.profile else None)
                 # keep metrics on device; a per-step float() would force a
                 # sync and stall the dispatch pipeline

@@ -35,18 +35,56 @@ def test_base_model_shapes(base):
     assert np.isfinite(np.asarray(out)).all()
 
 
-MASK_EXACT = ("linear", "lstm", "bilstm", "attention", "performer",
-              "linformer", "gcn")
+# since round 2 the invariant holds for every backbone EXCEPT nystromformer,
+# including the length-dependent spectral mixers (true-length DFT, pywt
+# odd-boundary fix).  Nystromformer's landmark grouping spans the padded
+# length by construction — the reference's own masked code path
+# (nystroformer.py:95-126) has the same property — so its bucketed output
+# is a (equally valid) Nystrom approximation at bucket granularity, pinned
+# instead by the cross-framework parity tests at aligned lengths.
+MASK_EXACT = tuple(b for b in BASE_MODELS if b != "nystromformer")
 
 
+@pytest.mark.parametrize("n_real", [24, 23])   # 23: odd-length dwt boundary
 @pytest.mark.parametrize("base", MASK_EXACT)
-def test_masked_padding_parity(base):
+def test_masked_padding_parity(base, n_real):
     """Padded+masked forward == unpadded forward at real positions."""
-    n_real, n_bucket = 24, 32
+    n_bucket = 32
     model = build_base_model(base, FEAT, HEADS)
     x = jax.random.normal(jax.random.PRNGKey(2), (1, n_real, FEAT))
     variables, out_exact = _init_and_run(model, x)
 
+    x_pad = jnp.pad(x, ((0, 0), (0, n_bucket - n_real), (0, 0)))
+    mask = jnp.arange(n_bucket)[None, :] < n_real
+    out_pad = model.apply(variables, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(out_pad)[0, :n_real],
+                               np.asarray(out_exact)[0], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("orientation", ["temporal", "feature_wise", "paper"])
+def test_masked_padding_parity_fourier_orientations(orientation):
+    n_real, n_bucket = 21, 32
+    model = build_base_model("fourier", FEAT, HEADS, orientation)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, n_real, FEAT))
+    variables, out_exact = _init_and_run(model, x)
+    x_pad = jnp.pad(x, ((0, 0), (0, n_bucket - n_real), (0, 0)))
+    mask = jnp.arange(n_bucket)[None, :] < n_real
+    out_pad = model.apply(variables, x_pad, mask)
+    np.testing.assert_allclose(np.asarray(out_pad)[0, :n_real],
+                               np.asarray(out_exact)[0], rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("base", ["attention", "lstm", "fourier", "dwt"])
+def test_masked_padding_parity_local_global(base):
+    """Segment boundaries must come from the TRUE length, so a padded
+    local-global encoder reproduces the unpadded one at real positions
+    (reference boundary rule: ceil(n / num_segments), encoder.py:46)."""
+    from edsnet_tpu.models.encoder import LocalGlobalEncoder
+    n_real, n_bucket = 27, 32
+    model = LocalGlobalEncoder(base, "paper", FEAT, num_head=HEADS,
+                               num_segments=4, local_attention_head=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, n_real, FEAT))
+    variables, out_exact = _init_and_run(model, x)
     x_pad = jnp.pad(x, ((0, 0), (0, n_bucket - n_real), (0, 0)))
     mask = jnp.arange(n_bucket)[None, :] < n_real
     out_pad = model.apply(variables, x_pad, mask)
