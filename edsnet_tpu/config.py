@@ -145,6 +145,11 @@ def get_parser() -> argparse.ArgumentParser:
                                  "tensorfloat32", "float32"],
                         help="jax default matmul precision (TPU MXU runs "
                              "bf16-ish by 'default'; 'highest' forces f32)")
+    parser.add_argument("--device-kts", action="store_true",
+                        help="run KTS change-point detection (scatter "
+                             "matrix + DP + model selection) as one jitted "
+                             "program on the accelerator instead of the "
+                             "host C++/NumPy path")
     parser.add_argument("--static-batches", action="store_true",
                         help="freeze batch compositions across epochs "
                              "(round-1 behavior); default recomposes "

@@ -107,9 +107,11 @@ class VideoPreprocessor:
     """
 
     def __init__(self, sample_rate: int,
-                 feature_extractor: str = "google-net"):
+                 feature_extractor: str = "google-net",
+                 device_kts: bool = False):
         self.model = FeatureExtractor(feature_extractor)
         self.sample_rate = sample_rate
+        self.device_kts = device_kts
 
     def get_features(self, video_path: PathLike) -> Tuple[int, np.ndarray]:
         import cv2
@@ -136,7 +138,11 @@ class VideoPreprocessor:
         seq_len = len(features)
         picks = np.arange(0, seq_len) * self.sample_rate
         kernel = np.matmul(features, features.T)
-        change_points, _ = cpd_auto(kernel, seq_len - 1, 1)
+        if self.device_kts:
+            from edsnet_tpu.ops.kts import cpd_auto_device
+            change_points, _ = cpd_auto_device(kernel, seq_len - 1, 1)
+        else:
+            change_points, _ = cpd_auto(kernel, seq_len - 1, 1)
         change_points = change_points * self.sample_rate
         change_points = np.hstack((0, change_points, n_frames))
         begin_frames = change_points[:-1]

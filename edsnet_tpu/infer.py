@@ -11,25 +11,44 @@ import numpy as np
 from edsnet_tpu import config as config_lib
 from edsnet_tpu.data.video import VideoPreprocessor
 from edsnet_tpu.models.model_zoo import get_model
-from edsnet_tpu.ops import bbox as bbox_ops
+
 from edsnet_tpu.ops import summary as summ_ops
 from edsnet_tpu.utils import checkpoint as ckpt_lib
 
 
 def summarize_video(model, variables, seq: np.ndarray, cps, n_frames, nfps,
-                    picks, nms_thresh: float) -> np.ndarray:
-    """features -> binary frame summary (shared by infer + tests)."""
-    seq_len = len(seq)
-    x = jnp.asarray(seq, jnp.float32)[None]
-    mask = jnp.ones((1, seq_len), bool)
-    pred_cls, pred_boxes = model.apply(variables, x, mask, method="predict")
-    pred_cls = np.asarray(pred_cls)[0]
-    pred_boxes = np.asarray(pred_boxes)[0]
+                    picks, nms_thresh: float,
+                    bucket_size: int = 64) -> np.ndarray:
+    """features -> binary frame summary (shared by infer + tests).
 
-    pred_boxes = np.clip(pred_boxes, 0, seq_len).round().astype(np.int32)
-    pred_cls, pred_boxes = bbox_ops.nms(pred_cls, pred_boxes, nms_thresh)
-    return summ_ops.bbox2summary(seq_len, pred_cls, pred_boxes, cps,
-                                 n_frames, nfps, picks)
+    The sequence is padded to a length bucket and predict + NMS run through
+    the same jitted bucketed program as evaluation, so videos of different
+    lengths share one XLA compile per bucket (per-exact-length compiles are
+    pathological on a remote-compile platform).
+    """
+    from edsnet_tpu.evaluate import _predict_nms
+    from edsnet_tpu.ops.anchors import anchor_scales_list
+
+    seq_len = len(seq)
+    blen = max(bucket_size, -(-seq_len // bucket_size) * bucket_size)
+    x = np.zeros((1, blen, seq.shape[-1]), np.float32)
+    x[0, :seq_len] = seq
+    mask = (np.arange(blen) < seq_len)[None]
+    scales = getattr(model, "anchor_scales", None)
+    num_scales = len(anchor_scales_list(scales)) if scales is not None else 1
+
+    pred_cls, boxes, keeps = _predict_nms(
+        model, variables, jnp.asarray(x), jnp.asarray(mask),
+        jnp.asarray([seq_len], np.int32), num_scales, nms_thresh)
+    pred_cls = np.asarray(pred_cls)[0]
+    boxes = np.asarray(boxes)[0]
+    keep_idx = np.where(np.asarray(keeps)[0])[0]
+    order = np.argsort(pred_cls[keep_idx], kind="stable")[::-1]
+    keep_idx = keep_idx[order]
+    return summ_ops.bbox2summary(
+        seq_len, pred_cls[keep_idx],
+        boxes[keep_idx].round().astype(np.int32), cps, n_frames, nfps,
+        picks)
 
 
 def main():
@@ -43,18 +62,21 @@ def main():
     model = get_model(args.model, **vars(args))
 
     print("Preprocessing source video ...")
-    video_proc = VideoPreprocessor(args.sample_rate, args.feature_extractor)
+    video_proc = VideoPreprocessor(args.sample_rate, args.feature_extractor,
+                                   device_kts=getattr(args, "device_kts",
+                                                      False))
     n_frames, seq, cps, nfps, picks = video_proc.run(args.source)
 
     variables = ckpt_lib.load_checkpoint(
         model, args.ckpt_path,
-        example_input=(jnp.zeros((1, len(seq), args.num_feature),
+        example_input=(jnp.zeros((1, args.bucket_size, args.num_feature),
                                  jnp.float32),
-                       jnp.ones((1, len(seq)), bool)))
+                       jnp.ones((1, args.bucket_size), bool)))
 
     print("Predicting summary ...")
     pred_summ = summarize_video(model, variables, seq, cps, n_frames, nfps,
-                                picks, args.nms_thresh)
+                                picks, args.nms_thresh,
+                                bucket_size=args.bucket_size)
 
     print("Writing summary video ...")
     cap = cv2.VideoCapture(args.source)

@@ -1,26 +1,130 @@
-"""Dataset builder: videos + user-summary JSONs -> eccv16-format h5.
+"""Custom-dataset builder: mp4 videos + user-summary JSONs -> eccv16 h5.
 
-Reference: `src/make_dataset.py` (incl. the +-5-frame label/video length
-trim tolerance at make_dataset.py:63-74 — implemented so that trimming
-actually keeps the video, instead of the reference's `continue` which
-discards it after trimming; and the feature trim fixed to the time axis,
-reference trims axis 1 of an (N, 1024) array).
+Behavioral contract from `src/make_dataset.py`: per video — decode +
+feature-extract + KTS (video_helper.py:76-131), pair with
+``<name>.json {"user_summary": UxF}``, reconcile a <=5-frame length
+mismatch by trimming the longer side (the reference's `continue` at
+make_dataset.py:74 discards the video it just trimmed — here trimming
+keeps it), gtscore = user mean at every sample-rate-th frame, optional
+motion_features merge.  Structure is our own: pairing, reconciliation and
+the group write are separate functions.
 """
 from __future__ import annotations
 
 import argparse
 import json
-import os
 from pathlib import Path
+from typing import List, Optional, Tuple
 
-import h5py
 import numpy as np
 
+from edsnet_tpu.data import h5io
 from edsnet_tpu.data.video import VideoPreprocessor
+
+TRIM_TOLERANCE = 5  # frames (make_dataset.py:63-74)
+
+
+def find_sources(video_dir: str, motion_dir: Optional[str]
+                 ) -> List[Tuple[Path, Optional[Path]]]:
+    """Pair each .mp4 with its positional .npy motion dump (if any)."""
+    videos = sorted(Path(video_dir).glob("*.mp4"))
+    if motion_dir is None:
+        return [(v, None) for v in videos]
+    motions = sorted(Path(motion_dir).glob("*.npy"))
+    paired = list(zip(videos, motions))
+    if len(paired) < len(videos):
+        paired += [(v, None) for v in videos[len(paired):]]
+    return paired
+
+
+def load_user_summary(label_dir: str, video_name: str
+                      ) -> Optional[np.ndarray]:
+    label_path = Path(label_dir) / f"{video_name}.json"
+    if not label_path.exists():
+        print(f"{video_name}: no label json at {label_path}; skipping")
+        return None
+    with open(label_path) as f:
+        payload = json.load(f)
+    return np.asarray(payload["user_summary"], dtype=np.float32)
+
+
+def reconcile(n_frames, features, picks, cps, nfps, user_summary):
+    """Align decoded frame count with the label frame count.
+
+    Returns the adjusted tuple, or None when the gap exceeds the
+    tolerance.
+    """
+    label_frames = user_summary.shape[1]
+    gap = n_frames - label_frames
+    if gap == 0:
+        return n_frames, features, picks, cps, nfps, user_summary
+    if abs(gap) >= TRIM_TOLERANCE:
+        print(f"label has {label_frames} frames but video has {n_frames} "
+              f"(gap {gap}); skipping")
+        return None
+
+    print(f"trimming to min({n_frames}, {label_frames}) frames")
+    if gap > 0:          # video longer: drop trailing features/shots
+        n_frames = label_frames
+        keep = picks < n_frames
+        features, picks = features[keep], picks[keep]
+        cps = np.clip(cps, 0, n_frames - 1)
+        nfps = cps[:, 1] - cps[:, 0] + 1
+    else:                # label longer: crop the annotation
+        user_summary = user_summary[:, :n_frames]
+    return n_frames, features, picks, cps, nfps, user_summary
+
+
+def build_dataset(args) -> int:
+    import h5py
+
+    preproc = VideoPreprocessor(args.sample_rate, args.feature_extractor,
+                                device_kts=getattr(args, "device_kts",
+                                                   False))
+    sources = find_sources(args.video_dir, args.motion_feature)
+    print(f"Building {args.save_path} from {len(sources)} videos")
+
+    written = 0
+    Path(args.save_path).parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(args.save_path, "w") as out:
+        for video_path, motion_path in sources:
+            name = video_path.stem
+            print(f"[{written + 1}/{len(sources)}] {name}")
+            user_summary = load_user_summary(args.label_dir, name)
+            if user_summary is None:
+                continue
+
+            n_frames, features, cps, nfps, picks = preproc.run(video_path)
+            adjusted = reconcile(n_frames, features, picks, cps, nfps,
+                                 user_summary)
+            if adjusted is None:
+                continue
+            n_frames, features, picks, cps, nfps, user_summary = adjusted
+
+            gtscore = user_summary[:, ::args.sample_rate].mean(axis=0)
+            fields = {
+                "features": features,
+                "gtscore": gtscore[:len(picks)],
+                "user_summary": user_summary,
+                "change_points": cps,
+                "n_frame_per_seg": nfps,
+                "n_frames": n_frames,
+                "picks": picks,
+                "video_name": name,
+            }
+            if motion_path is not None:
+                fields["motion_features"] = \
+                    np.load(motion_path)[::args.sample_rate]
+            h5io.write_group(out, name, fields)
+            written += 1
+
+    print(f"Wrote {written} videos -> {args.save_path}")
+    return written
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        description="Build an eccv16-format h5 from videos + labels")
     parser.add_argument("--video-dir", type=str,
                         default="../custom_data/videos/")
     parser.add_argument("--label-dir", type=str,
@@ -28,77 +132,14 @@ def main(argv=None):
     parser.add_argument("--sample-rate", type=int, default=15)
     parser.add_argument("--save-path", type=str,
                         default="../custom_data/custom_dataset.h5")
-    parser.add_argument("--feature-extractor", type=str, default="google-net",
-                        choices=["google-net", "swin-transformer", "convnext",
-                                 "random"])
+    parser.add_argument("--feature-extractor", type=str,
+                        default="google-net",
+                        choices=["google-net", "swin-transformer",
+                                 "convnext", "random"])
     parser.add_argument("--motion-feature", type=str, default=None)
-    args = parser.parse_args(argv)
-
-    out_dir = Path(args.save_path).parent
-    out_dir.mkdir(parents=True, exist_ok=True)
-    label_dir = Path(args.label_dir)
-
-    print("Loading feature extractor ...")
-    video_proc = VideoPreprocessor(args.sample_rate, args.feature_extractor)
-
-    video_list = sorted(os.listdir(args.video_dir))
-    video_paths = [os.path.join(args.video_dir, v) for v in video_list
-                   if v.endswith(".mp4")]
-
-    motion_paths = []
-    if args.motion_feature is not None:
-        motion_list = sorted(os.listdir(args.motion_feature))
-        motion_paths = [os.path.join(args.motion_feature, m)
-                        for m in motion_list if m.endswith(".npy")]
-
-    print(f"Processing {len(video_paths)} videos ...")
-    with h5py.File(args.save_path, "w") as h5out:
-        for idx, video_path in enumerate(video_paths):
-            n_frames, features, cps, nfps, picks = video_proc.run(video_path)
-
-            video_name = Path(video_path).name.split(".")[0]
-            label_path = label_dir / f"{video_name}.json"
-            with open(label_path) as f:
-                data = json.load(f)
-            user_summary = np.array(data["user_summary"], dtype=np.float32)
-            _, label_n_frames = user_summary.shape
-
-            if n_frames != label_n_frames:
-                if abs(n_frames - label_n_frames) < 5:
-                    print(f"{video_name}: trimming to "
-                          f"min({n_frames}, {label_n_frames}) frames")
-                    if n_frames > label_n_frames:
-                        n_frames = label_n_frames
-                        keep = picks < n_frames
-                        features = features[keep]
-                        picks = picks[keep]
-                        cps = np.clip(cps, 0, n_frames - 1)
-                        nfps = cps[:, 1] - cps[:, 0] + 1
-                    else:
-                        user_summary = user_summary[:, :n_frames]
-                else:
-                    print(f"Invalid label of size {label_n_frames}: "
-                          f"expected {n_frames}; skipping {video_name}")
-                    continue
-
-            gtscore = np.mean(user_summary[:, ::args.sample_rate], axis=0)
-            gtscore = gtscore[:len(picks)]
-
-            key = video_name
-            h5out.create_dataset(f"{key}/features", data=features)
-            h5out.create_dataset(f"{key}/gtscore", data=gtscore)
-            h5out.create_dataset(f"{key}/user_summary", data=user_summary)
-            h5out.create_dataset(f"{key}/change_points", data=cps)
-            h5out.create_dataset(f"{key}/n_frame_per_seg", data=nfps)
-            h5out.create_dataset(f"{key}/n_frames", data=n_frames)
-            h5out.create_dataset(f"{key}/picks", data=picks)
-            h5out.create_dataset(f"{key}/video_name", data=video_name)
-
-            if motion_paths:
-                motion = np.load(motion_paths[idx])[::args.sample_rate]
-                h5out.create_dataset(f"{key}/motion_features", data=motion)
-
-    print(f"Dataset saved to {args.save_path}")
+    parser.add_argument("--device-kts", action="store_true",
+                        help="run the KTS DP on the accelerator")
+    build_dataset(parser.parse_args(argv))
 
 
 if __name__ == "__main__":

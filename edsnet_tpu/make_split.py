@@ -1,46 +1,64 @@
-"""Split maker: random or cross-validation train/test splits over an h5.
+"""Train/test split generator over an h5 dataset.
 
-Reference: `src/make_split.py` (random shuffles, 80/20 default, optional
-extra datasets appended to every train set for the aug/transfer settings).
+Behavioral contract from `src/make_split.py`: N random 80/20 shuffles or a
+cross-validation partition; with ``--extra-datasets`` every fold's train
+side also absorbs all videos of the extra h5 files (the aug / transfer
+settings of `README.md:64-72`).  Structure and RNG handling are our own
+(an isolated random.Random seeded by --seed instead of the global state).
 """
 from __future__ import annotations
 
 import argparse
 import random
 from pathlib import Path
+from typing import Dict, List
 
-import h5py
 import yaml
 
-
-def make_random_splits(keys, num_test, num_splits):
-    splits = []
-    for _ in range(num_splits):
-        random.shuffle(keys)
-        test_keys = keys[:num_test]
-        train_keys = sorted(set(keys) - set(test_keys))
-        splits.append({"train_keys": train_keys, "test_keys": test_keys})
-    return splits
+from edsnet_tpu.data.h5io import dataset_keys
 
 
-def make_cross_val_splits(keys, num_videos, num_test):
-    random.shuffle(keys)
-    splits = []
-    for i in range(0, num_videos, num_test):
-        test_keys = keys[i:i + num_test]
-        train_keys = sorted(set(keys) - set(test_keys))
-        splits.append({"train_keys": train_keys, "test_keys": test_keys})
-    return splits
+def _fold(universe: List[str], test_keys: List[str]) -> Dict[str, list]:
+    return {"train_keys": sorted(set(universe) - set(test_keys)),
+            "test_keys": list(test_keys)}
+
+
+def random_folds(keys: List[str], n_test: int, n_folds: int,
+                 rng: random.Random) -> List[Dict[str, list]]:
+    """Independent shuffles; first n_test of each become the test side."""
+    folds = []
+    pool = list(keys)
+    for _ in range(n_folds):
+        rng.shuffle(pool)
+        folds.append(_fold(pool, pool[:n_test]))
+    return folds
+
+
+def crossval_folds(keys: List[str], n_test: int,
+                   rng: random.Random) -> List[Dict[str, list]]:
+    """One shuffle, then disjoint test chunks covering every video."""
+    pool = list(keys)
+    rng.shuffle(pool)
+    return [_fold(pool, pool[lo:lo + n_test])
+            for lo in range(0, len(pool), n_test)]
+
+
+def augment_train_side(folds: List[Dict[str, list]],
+                       extra_keys: List[str], rng: random.Random) -> None:
+    for fold in folds:
+        fold["train_keys"] = fold["train_keys"] + list(extra_keys)
+        rng.shuffle(fold["train_keys"])
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        description="Generate train/test split yaml for an h5 dataset")
     parser.add_argument("--dataset", type=str, required=True,
                         help="Path to h5 dataset")
     parser.add_argument("--extra-datasets", type=str, nargs="+", default=[],
-                        help="Extra datasets to append to train set")
+                        help="Extra h5 files merged into every train side")
     parser.add_argument("--save-path", type=str, required=True,
-                        help="Path to save generated splits")
+                        help="Where to write the split yaml")
     parser.add_argument("--num-splits", type=int, default=5)
     parser.add_argument("--train-ratio", type=float, default=0.8)
     parser.add_argument("--method", type=str, default="random",
@@ -48,35 +66,24 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args(argv)
 
-    if args.seed is not None:
-        random.seed(args.seed)
-
-    with h5py.File(args.dataset, "r") as dataset:
-        keys = [str(Path(args.dataset) / key) for key in dataset.keys()]
-
-    extra_keys = []
-    for extra_path in args.extra_datasets:
-        with h5py.File(extra_path, "r") as extra:
-            extra_keys += [str(Path(extra_path) / key) for key in extra.keys()]
-
-    num_videos = len(keys)
-    num_train = round(num_videos * args.train_ratio)
-    num_test = num_videos - num_train
+    rng = random.Random(args.seed)
+    keys = dataset_keys(args.dataset)
+    n_test = len(keys) - round(len(keys) * args.train_ratio)
 
     if args.method == "random":
-        splits = make_random_splits(keys, num_test, args.num_splits)
+        folds = random_folds(keys, n_test, args.num_splits, rng)
     else:
-        splits = make_cross_val_splits(keys, num_videos, num_test)
+        folds = crossval_folds(keys, n_test, rng)
 
-    if extra_keys:
-        for split in splits:
-            split["train_keys"] += extra_keys
-            random.shuffle(split["train_keys"])
+    extra = [k for path in args.extra_datasets for k in dataset_keys(path)]
+    if extra:
+        augment_train_side(folds, extra, rng)
 
-    save_path = Path(args.save_path)
-    save_path.parent.mkdir(parents=True, exist_ok=True)
-    with open(save_path, "w") as f:
-        yaml.dump(splits, f)
+    out = Path(args.save_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(yaml.dump(folds))
+    print(f"Wrote {len(folds)} folds ({len(keys)} videos, "
+          f"{n_test} test each) -> {out}")
 
 
 if __name__ == "__main__":

@@ -174,31 +174,24 @@ def cpd_auto(K: np.ndarray, ncp: int, vmax: float, desc_rate: int = 1,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("m_max", "lmin", "lmax"))
-def kts_dp_jax(J, m_max: int, lmin: int = 1, lmax: Optional[int] = None):
-    """Jittable KTS DP at static max m.
+def _kts_dp_jax_core(J, n, m_max: int, lmin: int, lmax: Optional[int]):
+    L = J.shape[0]
+    n = jnp.asarray(n, jnp.int32)
+    lmax_eff = jnp.minimum(jnp.asarray(lmax if lmax else L + 1, jnp.int32),
+                           n + 1)
 
-    :param J: [n, n] scatter matrix (float32).
-    :param m_max: static maximum number of change points.
-    :return: (scores [m_max+1], path [m_max+1, n+1] int32). scores[k] is the
-        optimal objective with k change points; sentinel 1e30 where infeasible.
-    """
-    J = jnp.asarray(J, jnp.float32)
-    n = J.shape[0]
-    if lmax is None or lmax > n + 1:
-        lmax = n + 1
-
-    l_ax = jnp.arange(n + 1)
-    I0 = jnp.where((l_ax >= lmin) & (l_ax < lmax),
-                   J[0, jnp.clip(l_ax - 1, 0, n - 1)], _INF32)
-    t = jnp.arange(n + 1)[:, None]
-    l = jnp.arange(n + 1)[None, :]
-    Jmat = J[jnp.clip(t, 0, n - 1), jnp.clip(l - 1, 0, n - 1)]
+    l_ax = jnp.arange(L + 1)
+    I0 = jnp.where((l_ax >= lmin) & (l_ax < lmax_eff) & (l_ax <= n),
+                   J[0, jnp.clip(l_ax - 1, 0, L - 1)], _INF32)
+    t = jnp.arange(L + 1)[:, None]
+    l = jnp.arange(L + 1)[None, :]
+    Jmat = J[jnp.clip(t, 0, L - 1), jnp.clip(l - 1, 0, L - 1)]
 
     def step(I_prev, k):
-        tmin = jnp.maximum(k * lmin, l - lmax)
+        tmin = jnp.maximum(k * lmin, l - lmax_eff)
         tmax = l - lmin + 1
         valid = (t >= tmin) & (t < tmax) & (l >= (k + 1) * lmin) \
-            & (t < n) & (l >= 1)
+            & (t < n) & (l >= 1) & (l <= n)
         C = jnp.where(valid, Jmat + I_prev[:, None], _INF32)
         I_k = jnp.min(C, axis=0)
         p_k = jnp.argmin(C, axis=0).astype(jnp.int32)
@@ -207,12 +200,32 @@ def kts_dp_jax(J, m_max: int, lmin: int = 1, lmax: Optional[int] = None):
     _, (I_rows, p_rows) = jax.lax.scan(step, I0, jnp.arange(1, m_max + 1))
     I_full = jnp.concatenate([I0[None], I_rows], axis=0)
     p_full = jnp.concatenate(
-        [jnp.zeros((1, n + 1), jnp.int32), p_rows], axis=0)
+        [jnp.zeros((1, L + 1), jnp.int32), p_rows], axis=0)
     return I_full[:, n], p_full
 
 
-@partial(jax.jit, static_argnames=("m_max", "n"))
-def kts_backtrack_jax(path, m_best, m_max: int, n: int):
+def kts_dp_jax(J, m_max: int, lmin: int = 1, lmax: Optional[int] = None,
+               n=None):
+    """Jittable KTS DP at static max m over a (possibly padded) kernel.
+
+    :param J: [L, L] scatter matrix (float32); rows/cols beyond ``n`` may be
+        padding — the DP never reads them.
+    :param m_max: static maximum number of change points.
+    :param n: true length (traced; defaults to L).  Padding the kernel to a
+        length bucket and passing the true ``n`` gives one XLA compile per
+        bucket instead of one per video length.
+    :return: (scores [m_max+1], path [m_max+1, L+1] int32). scores[k] is the
+        optimal objective with k change points; sentinel 1e30 where
+        infeasible.
+    """
+    J = jnp.asarray(J, jnp.float32)
+    if n is None:
+        n = J.shape[0]
+    return _kts_dp_jax_core(J, n, m_max, lmin, lmax)
+
+
+@partial(jax.jit, static_argnames=("m_max",))
+def kts_backtrack_jax(path, m_best, m_max: int, n):
     """Jittable backtrack: change points for a (dynamic) m_best <= m_max.
 
     :return: (cps [m_max] int32, valid [m_max] bool) — cps[:m_best] are real.
@@ -232,3 +245,52 @@ def kts_backtrack_jax(path, m_best, m_max: int, n: int):
         idx >= 0, idx, m_max)].set(cps_rev, mode="drop")
     valid = jnp.arange(m_max) < m_best
     return cps, valid
+
+
+@partial(jax.jit, static_argnames=("lmin", "lmax", "desc_rate"))
+def _cpd_auto_device_core(K, n, ncp, vmax, lmin: int,
+                          lmax: Optional[int], desc_rate: int):
+    L = K.shape[0]
+    m_max = L - 1   # bucket-determined so the compile is per-bucket
+    J = calc_scatters_jax(K)
+    scores, path = _kts_dp_jax_core(J, n, m_max, lmin, lmax)
+
+    n2 = (n * desc_rate).astype(jnp.float32)
+    k_ax = jnp.arange(m_max + 1, dtype=jnp.float32)
+    pen = jnp.where(k_ax > 0,
+                    (vmax * k_ax / (2.0 * n2))
+                    * (jnp.log(n2 / jnp.maximum(k_ax, 1.0)) + 1.0), 0.0)
+    costs = scores / n.astype(jnp.float32) + pen
+    costs = jnp.where(jnp.arange(m_max + 1) <= ncp, costs, jnp.inf)
+    costs = jnp.where(scores >= _INF32 * 0.5, jnp.inf, costs)
+    m_best = jnp.argmin(costs).astype(jnp.int32)
+    cps, valid = kts_backtrack_jax(path, m_best, m_max, n)
+    return cps, valid, scores, m_best
+
+
+def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
+                    desc_rate: int = 1, lmin: int = 1,
+                    lmax: Optional[int] = None,
+                    bucket_size: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Device (jitted) twin of ``cpd_auto``: one XLA program per length
+    bucket — scatter matrix, DP scan, penalized model selection and
+    backtrack all run on the accelerator (cpd_auto.py:6-33 semantics).
+    The kernel is zero-padded to a bucket and the true length/ncp are
+    traced, so repeated calls at varying video lengths share one compile.
+
+    Returns (cps, scores[:m_best+1]) like the host path.
+    """
+    K = np.asarray(K, np.float32)
+    n = K.shape[0]
+    L = max(bucket_size, -(-n // bucket_size) * bucket_size)
+    K_pad = np.zeros((L, L), np.float32)
+    K_pad[:n, :n] = K
+    cps, valid, scores, m_best = _cpd_auto_device_core(
+        jnp.asarray(K_pad), jnp.asarray(n, jnp.int32),
+        jnp.asarray(min(int(ncp), n - 1), jnp.int32),
+        jnp.asarray(vmax, jnp.float32), lmin, lmax, desc_rate)
+    m_best = int(m_best)
+    cps = np.asarray(cps)[np.asarray(valid)]
+    scores = np.asarray(scores, np.float64)[:m_best + 1].copy()
+    scores[scores > 1e29] = np.inf
+    return cps.astype(np.int64), scores

@@ -138,3 +138,42 @@ def test_haar_roundtrip():
     ca, cd = dwt.haar_dwt(x, axis=1)
     back = dwt.haar_idwt(ca, cd, axis=1)
     assert np.allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_cpd_auto_device_matches_host_real_sizes():
+    """Full device KTS (scatter+DP+selection+backtrack in one jitted
+    program, bucket-padded) == host C++/NumPy path at realistic video
+    sizes (TVSum-scale: a few hundred subsampled frames)."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(42)
+    for n, n_segments in [(200, 7), (437, 12)]:
+        # piecewise-constant features + noise: well-separated change points
+        bounds = np.sort(rng.choice(np.arange(10, n - 10), n_segments - 1,
+                                    replace=False))
+        segs = np.split(np.arange(n), bounds)
+        feats = np.concatenate([
+            np.tile(rng.randn(1, 16), (len(s), 1)) for s in segs])
+        feats += 0.05 * rng.randn(n, 16)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        K = feats @ feats.T
+
+        host_cps, _ = kts.cpd_auto(K, n - 1, 1)
+        dev_cps, _ = kts.cpd_auto_device(K, n - 1, 1)
+        np.testing.assert_array_equal(
+            np.asarray(host_cps), np.asarray(dev_cps),
+            err_msg=f"device KTS diverged from host at n={n}")
+
+
+def test_cpd_auto_device_bucket_independent():
+    """The same video must give the same change points whatever bucket it
+    lands in (true length is traced, padding is masked out)."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(3)
+    n = 100
+    feats = np.repeat(rng.randn(5, 8), 20, axis=0) + 0.05 * rng.randn(n, 8)
+    K = (feats @ feats.T).astype(np.float32)
+    cps_small, _ = kts.cpd_auto_device(K, n - 1, 1, bucket_size=50)
+    cps_large, _ = kts.cpd_auto_device(K, n - 1, 1, bucket_size=128)
+    np.testing.assert_array_equal(cps_small, cps_large)
