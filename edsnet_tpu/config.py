@@ -127,6 +127,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-devices", type=int, default=0,
                         help="data-parallel mesh size (0 = all local "
                              "devices)")
+    parser.add_argument("--pad-batch-to", type=int, default=0,
+                        help="pad every batch's video axis to a multiple "
+                             "of this (0 = mesh size); fixing it keeps "
+                             "batch shapes (and so compiles and RNG "
+                             "streams) identical across mesh sizes")
     parser.add_argument("--untie-fc-blocks", action="store_true",
                         help="use independent weights per fc_block instead "
                              "of the reference's shared-weight trunk")
@@ -137,9 +142,12 @@ def get_parser() -> argparse.ArgumentParser:
                              "epoch; eval dominates wall-clock on small "
                              "datasets)")
     parser.add_argument("--device-eval", action="store_true",
-                        help="run the full eval pipeline (NMS + knapsack + "
-                             "F1) on device instead of host summary "
-                             "assembly")
+                        help="deprecated no-op: device eval is the default "
+                             "since round 2 (see --host-eval)")
+    parser.add_argument("--host-eval", action="store_true",
+                        help="assemble summaries on the host (native C++ "
+                             "knapsack) instead of the default fully "
+                             "on-device eval pipeline")
     parser.add_argument("--matmul-precision", type=str, default=None,
                         choices=["default", "high", "highest", "bfloat16",
                                  "tensorfloat32", "float32"],

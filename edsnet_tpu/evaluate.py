@@ -112,8 +112,8 @@ def evaluate_loader(model, variables, val_loader: DataLoader,
     return evaluate(model, variables, records, nms_thresh, **kwargs)
 
 
-def main():
-    args = config_lib.get_arguments()
+def main(argv=None):
+    args = config_lib.get_arguments(argv)
     from edsnet_tpu.utils.runtime import setup_runtime
     setup_runtime(args.device, matmul_precision=getattr(args, 'matmul_precision', None))
     if getattr(args, "use_pallas", False):
@@ -138,12 +138,11 @@ def main():
 
             val_set = VideoDataset(split["test_keys"], args.data_root)
             records = [val_set[i] for i in range(len(val_set))]
-            if getattr(args, "device_eval", False) \
-                    and args.model_depth != "cross-attention":
+            if getattr(args, "host_eval", False):
+                eval_fn = evaluate
+            else:
                 from edsnet_tpu.parallel.eval_device import evaluate_on_device
                 eval_fn = evaluate_on_device
-            else:
-                eval_fn = evaluate
             fscore, diversity = eval_fn(model, variables, records,
                                         args.nms_thresh,
                                         batch_size=max(args.batch_size, 1),

@@ -87,6 +87,16 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                         r.user_summary[:, :fr_max] > 0.5
                     out["user_valid"][j, :u] = True
                 out["is_avg"][j] = "tvsum" in r.key
+            if chunk[0].motion_features is not None:
+                m_len = _round_up(max(r.motion_features.shape[0]
+                                      for r in chunk), 16)
+                out["motion"] = zeros((m_len,
+                                       chunk[0].motion_features.shape[1]))
+                out["motion_mask"] = zeros((m_len,), bool)
+                for j, r in enumerate(chunk):
+                    m = r.motion_features.shape[0]
+                    out["motion"][j, :m] = r.motion_features
+                    out["motion_mask"][j, :m] = True
             yield out
 
 
@@ -94,8 +104,14 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                                    "frame_bucket"))
 def _eval_batch_device(model, variables, batch, num_scales: int,
                        nms_thresh: float, frame_bucket: int):
-    pred_cls, boxes = model.apply(variables, batch["seq"], batch["mask"],
-                                  method="predict")
+    if "motion" in batch:
+        # cross-attention motion head (models/dsnet.py:329-332)
+        pred_cls, boxes = model.apply(
+            variables, batch["seq"], batch["motion"], batch["mask"],
+            batch["motion_mask"], method="predict")
+    else:
+        pred_cls, boxes = model.apply(variables, batch["seq"],
+                                      batch["mask"], method="predict")
     total = pred_cls.shape[1]
     positions = jnp.arange(total) // num_scales
 

@@ -93,7 +93,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                 f"model-depth cross-attention needs 'motion_features' in "
                 f"the h5 for every video; missing for {missing[:3]}...")
     mesh = make_mesh(args.num_devices)
-    n_dev = mesh.devices.size
+    # batch rows are padded to a multiple of this; --pad-batch-to fixes it
+    # above the mesh size so batch shapes (and hence dropout/negative-
+    # sampling RNG streams) are identical whatever the mesh
+    mesh_n = mesh.devices.size
+    pad_to = int(getattr(args, "pad_batch_to", 0) or 0)
+    n_dev = -(-max(pad_to, mesh_n) // mesh_n) * mesh_n
     rng = np.random.RandomState(args.seed)
     step_rng = jax.random.PRNGKey(args.seed + 2)
 
@@ -207,9 +212,10 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             stats.update(**{k: float(v) for k, v in m.items()})
         epoch_metrics.clear()
         variables = {"params": state.params, **(state.constants or {})}
-        use_dev_eval = (getattr(args, "device_eval", False)
-                        and args.model_depth != "cross-attention")
-        eval_fn = evaluate_on_device if use_dev_eval else evaluate
+        # device eval is the default: the whole NMS+knapsack+F1 pipeline
+        # stays on the accelerator so train-time eval never stalls it
+        eval_fn = evaluate if getattr(args, "host_eval", False) \
+            else evaluate_on_device
         val_fscore, _ = eval_fn(model, variables, val_records,
                                 args.nms_thresh,
                                 batch_size=max(args.batch_size, 1),

@@ -52,3 +52,34 @@ def test_device_eval_matches_host(model_type, tvsum):
                                       bucket_size=32)
     assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
     assert abs(host_d - dev_d) < 1e-4, (host_d, dev_d)
+
+
+def test_device_eval_matches_host_motion_head():
+    """Cross-attention motion head: device eval == host eval (the round-1
+    silent fallback at trainer.py is gone)."""
+    f = 1024  # d_model hard-coded in the reference decoder (dsnet.py:293)
+    model = get_model("anchor-based", model_depth="cross-attention",
+                      base_model="linear", num_feature=f, num_hidden=8,
+                      anchor_scales=(4,), num_head=2, fc_depth=1,
+                      attention_depth=1, encoder_type="classic",
+                      orientation="paper", pooling_type="roi")
+    rng = np.random.RandomState(5)
+    records = [
+        r._replace(seq=rng.randn(r.seq.shape[0], f).astype(np.float32),
+                   motion_features=rng.randn(max(r.seq.shape[0] // 2, 4),
+                                             f).astype(np.float32))
+        for r in _records()]
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, f)),
+                           jnp.zeros((1, 16, f)), jnp.ones((1, 32), bool),
+                           jnp.ones((1, 16), bool))
+
+    host_f, host_d = evaluate(model, variables, records, nms_thresh=0.5,
+                              batch_size=2, bucket_size=32)
+    dev_f, dev_d = evaluate_on_device(model, variables, records,
+                                      nms_thresh=0.5, batch_size=2,
+                                      bucket_size=32)
+    assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
+    assert abs(host_d - dev_d) < 1e-4, (host_d, dev_d)
