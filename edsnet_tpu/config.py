@@ -167,7 +167,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help="resume training from the saved train state "
                              "(model + optimizer + epoch) if present")
     parser.add_argument("--use-pallas", action="store_true",
-                        help="use the fused Pallas nystromformer kernel")
+                        help="route the attention backbone's deterministic "
+                             "path through the Pallas flash-attention "
+                             "kernel (2x+ at N>=2048)")
     return parser
 
 

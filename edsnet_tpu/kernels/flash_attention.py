@@ -1,0 +1,175 @@
+"""Masked flash attention (blockwise online-softmax) for TPU.
+
+Why: the vanilla attention backbone materializes the [B, H, N, N] score
+matrix in HBM — at B=2, N=4096 that is ~1 GB of traffic and XLA takes
+4.9 ms (benchmarks/RESULTS.md).  This kernel streams K/V blocks through
+VMEM with the online-softmax recurrence, so HBM traffic is O(N*D) and the
+MXU stays busy: the score matrix never leaves the chip.
+
+Semantics match `models/attention.py` exactly: scores q @ k^T / sqrt(D),
+key positions where mask is False are excluded from the softmax
+(masked_softmax uses finfo.min — here -1e30), no dropout (the kernel
+serves the deterministic eval/predict path; training at EDSNet's N≈512
+keeps the XLA path, whose score matrix is tiny).
+
+The backward pass recomputes attention with plain XLA einsums via
+custom_vjp — gradients flow if someone differentiates the deterministic
+path, at XLA speed.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref,
+                  l_ref, *, scale: float):
+    """One (batch*head, q-block, k-block) grid step.
+
+    The k axis is the minor grid dimension: TPU grid steps run
+    sequentially per core, so the online-softmax state (acc/m/l scratch)
+    carries across k blocks of the same q block — K/V stream through VMEM
+    one block at a time and the [BQ, N] score matrix never exists.
+    """
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0] * scale                                   # [BQ, D]
+    k_blk = k_ref[0]                                       # [BK, D]
+    v_blk = v_ref[0]
+    km = mask_ref[0, 0]                                    # [BK]
+
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BQ, BK]
+    s = jnp.where(km[None, :] > 0, s, NEG)
+
+    m_prev = m_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                                 # [BQ, BK]
+    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1,
+                                                  keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:, :1] = m_new
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+
+
+def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
+    bh, n, d = q.shape
+    scale = d ** -0.5
+    grid = (bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k))
+    # compiled on TPU; interpreter elsewhere (CPU test runs)
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        partial(_flash_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # acc
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running denom
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * n * d, transcendentals=n * n,
+            bytes_accessed=4 * (3 * n * d + n)),
+        interpret=interpret,
+    )(q, k, v, mask)
+
+
+def _attention_xla(q, k, v, mask):
+    """Plain-XLA twin (backward recompute + numerical oracle)."""
+    d = q.shape[-1]
+    s = jnp.einsum("bnd,bmd->bnm", q, k) / jnp.sqrt(jnp.asarray(d, q.dtype))
+    s = jnp.where(mask[:, None, :] > 0, s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bnm,bmd->bnd", p, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, mask, block_q, block_k):
+    return _flash_forward(q, k, v, mask, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, mask, block_q, block_k):
+    return _flash_forward(q, k, v, mask, block_q, block_k), (q, k, v, mask)
+
+
+def _flash_bwd(block_q, block_k, res, g):
+    q, k, v, mask = res
+    mask2d = mask[:, 0, :]
+    _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, mask2d),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, mask=None, block_q: int = 512,
+                    block_k: int = 512):
+    """Masked multi-head attention, O(N*D) HBM traffic.
+
+    q/k/v: [B, H, N, D] float32; mask: [B, N] bool or None.
+    Returns [B, H, N, D].
+    """
+    b, h, n, d = q.shape
+    if mask is None:
+        m32 = jnp.ones((b, n), jnp.int32)
+    else:
+        m32 = mask.astype(jnp.int32)
+
+    # pad the time axis so a block size divides it (length buckets are
+    # multiples of 64 already; exact-length calls get padded + cropped,
+    # with the pad masked out of the softmax)
+    def fit(block):
+        while n_pad % block:
+            block //= 2
+        return max(block, 64)
+
+    n_pad = -(-n // 64) * 64
+    block_q = fit(min(block_q, n_pad))
+    block_k = fit(min(block_k, n_pad))
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        m32 = jnp.pad(m32, ((0, 0), (0, n_pad - n)))
+
+    m32 = jnp.broadcast_to(m32[:, None, :],
+                           (b, h, n_pad)).reshape(b * h, 1, n_pad)
+
+    def flat(t):
+        return t.reshape(b * h, n_pad, d).astype(jnp.float32)
+
+    out = _flash(flat(q), flat(k), flat(v), m32, block_q, block_k)
+    return out.reshape(b, h, n_pad, d)[:, :, :n]

@@ -18,11 +18,20 @@ from edsnet_tpu.models.common import XAVIER2, masked_softmax
 
 
 class AttentionExtractor(nn.Module):
-    """(B, N, F) -> (B, N, F) self-attention mixing."""
+    """(B, N, F) -> (B, N, F) self-attention mixing.
+
+    ``use_pallas`` routes the deterministic path at long N through the
+    flash-attention kernel (kernels/flash_attention.py): O(N*D) HBM
+    traffic instead of the materialized [B,H,N,N] score matrix.  Training
+    keeps the XLA path — the reference applies dropout ON the attention
+    map (models.py:15,23), which requires materializing it anyway.
+    """
     num_head: int = 8
     num_feature: int = 1024
     attn_dropout: float = 0.5
     out_dropout: float = 0.5
+    use_pallas: bool = False
+    pallas_min_len: int = 1024
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -39,12 +48,16 @@ class AttentionExtractor(nn.Module):
         k = proj("K").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
         v = proj("V").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(d_k)
-        key_mask = None if mask is None else mask[:, None, None, :]
-        attn = masked_softmax(attn, key_mask, axis=-1)
-        attn = nn.Dropout(self.attn_dropout)(attn, deterministic=deterministic)
-
-        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        if self.use_pallas and deterministic and n >= self.pallas_min_len:
+            from edsnet_tpu.kernels.flash_attention import flash_attention
+            y = flash_attention(q, k, v, mask)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(d_k)
+            key_mask = None if mask is None else mask[:, None, None, :]
+            attn = masked_softmax(attn, key_mask, axis=-1)
+            attn = nn.Dropout(self.attn_dropout)(
+                attn, deterministic=deterministic)
+            y = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, f)
         y = nn.Dense(f, use_bias=False, kernel_init=XAVIER2, name="fc")(y)
         y = nn.Dropout(self.out_dropout)(y, deterministic=deterministic)

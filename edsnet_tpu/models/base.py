@@ -25,7 +25,8 @@ _USE_PALLAS = False
 
 
 def set_use_pallas(enabled: bool) -> None:
-    """Route nystromformer through the fused Pallas kernel (--use-pallas)."""
+    """Route the attention backbone's deterministic path through the
+    Pallas flash-attention kernel (--use-pallas)."""
     global _USE_PALLAS
     _USE_PALLAS = bool(enabled)
 
@@ -52,13 +53,14 @@ def build_base_model(base_type: str, num_feature: int, num_head: int,
     if base_type == "gcn":
         return GCNExtractor(num_feature, name=name)
     if base_type == "attention":
-        return AttentionExtractor(num_head, num_feature, name=name)
+        return AttentionExtractor(num_head, num_feature,
+                                  use_pallas=_USE_PALLAS, name=name)
     if base_type == "nystromformer":
         # factory config at models.py:135
         return NystromAttention(dim=num_feature, dim_head=64, heads=num_head,
                                 num_landmarks=64, pinv_iterations=6,
                                 residual=True, residual_conv_kernel=33,
-                                use_pallas=_USE_PALLAS, name=name)
+                                name=name)
     if base_type == "fourier":
         return FNetLayer(num_feature, dropout=0.5, orientation=orientation,
                          name=name)

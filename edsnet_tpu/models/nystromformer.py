@@ -7,13 +7,16 @@ config from the factory (`src/modules/models.py:135`): dim_head=64,
 num_landmarks=64, pinv_iterations=6, residual conv kernel 33, dropout 0.
 
 TPU notes: the core (between QKV and the output projection) is exposed as
-``nystrom_core_jnp`` and has a fused Pallas twin
-(`edsnet_tpu/kernels/nystrom_pallas.py`) that keeps every (N x m) / (m x N)
-intermediate in VMEM; select with ``use_pallas``.  We adopt the reference's
-*masked* semantics (nystroformer.py:87-126) for padded buckets.  The
-reference's internal front-padding (to a multiple of num_landmarks) is a
-no-op when the bucket length is already a multiple of 64, which the data
-pipeline guarantees.
+``nystrom_core_jnp``.  A fused Pallas twin existed in round 1 and was
+retired in round 2: XLA's fusion beat it at every feasible size (0.021 vs
+0.035 ms at paper shapes, 0.61 vs 0.82 ms at N=4096 — see DESIGN.md);
+the repo's Pallas effort moved to flash attention for the vanilla
+backbone (kernels/flash_attention.py), where the roofline argument
+actually favors a hand-written kernel.  We adopt the reference's *masked*
+semantics (nystroformer.py:87-126) for padded buckets.  The reference's
+internal front-padding (to a multiple of num_landmarks) is a no-op when
+the bucket length is already a multiple of 64, which the data pipeline
+guarantees.
 """
 from __future__ import annotations
 
@@ -113,7 +116,6 @@ class NystromAttention(nn.Module):
     residual_conv_kernel: int = 33
     eps: float = 1e-8
     dropout: float = 0.0
-    use_pallas: bool = False
     # reference-exact z0 for the NS pinv (see moore_penrose_pinv)
     pinv_global_init: bool = False
 
@@ -152,21 +154,8 @@ class NystromAttention(nn.Module):
 
         q = q * (self.dim_head ** -0.5)
 
-        if self.use_pallas and mask is not None:
-            from edsnet_tpu.kernels.nystrom_pallas import \
-                nystrom_attention_pallas
-            out = nystrom_attention_pallas(
-                q, k, v, mask, num_landmarks=m,
-                pinv_iterations=self.pinv_iterations, eps=self.eps)
-        elif self.use_pallas:
-            from edsnet_tpu.kernels.nystrom_pallas import \
-                nystrom_attention_pallas
-            out = nystrom_attention_pallas(
-                q, k, v, jnp.ones((b, n_p), x.dtype), num_landmarks=m,
-                pinv_iterations=self.pinv_iterations, eps=self.eps)
-        else:
-            out = nystrom_core_jnp(q, k, v, mask, m, self.pinv_iterations,
-                                   self.eps, self.pinv_global_init)
+        out = nystrom_core_jnp(q, k, v, mask, m, self.pinv_iterations,
+                               self.eps, self.pinv_global_init)
 
         if self.residual:
             # depthwise conv over time per head (nystroformer.py:65,137-138)

@@ -1,0 +1,85 @@
+"""Flash-attention kernel vs the XLA oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edsnet_tpu.kernels.flash_attention import (_attention_xla,
+                                                flash_attention)
+
+
+def _qkv(b=2, h=2, n=192, d=64, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    return mk(), mk(), mk()
+
+
+def _oracle(q, k, v, mask):
+    b, h, n, d = q.shape
+    if mask is None:
+        mask = jnp.ones((b, n), bool)
+    m = jnp.broadcast_to(mask[:, None, :], (b, h, n)).reshape(b * h, n)
+    out = _attention_xla(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                         v.reshape(b * h, n, d), m)
+    return out.reshape(b, h, n, d)
+
+
+def test_flash_matches_xla_unmasked():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, None)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_matches_xla_masked():
+    q, k, v = _qkv(seed=1)
+    n = q.shape[2]
+    mask = jnp.asarray(np.arange(n)[None, :] <
+                       np.asarray([150, 100])[:, None])
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64)
+    ref = _oracle(q, k, v, mask)
+    # compare only real query rows (padded rows are garbage by design)
+    np.testing.assert_allclose(np.asarray(out)[0, :, :150],
+                               np.asarray(ref)[0, :, :150],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[1, :, :100],
+                               np.asarray(ref)[1, :, :100],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_non_multiple_length_padding():
+    q, k, v = _qkv(n=100, seed=2)   # not a multiple of 64
+    out = flash_attention(q, k, v, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, None)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_gradients_flow():
+    q, k, v = _qkv(b=1, h=1, n=64, d=64, seed=3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=64)**2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, None) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_attention_extractor_pallas_path_matches():
+    from edsnet_tpu.models.attention import AttentionExtractor
+    n, f = 128, 64
+    x = jnp.asarray(np.random.RandomState(5).randn(1, n, f), jnp.float32)
+    ref_mod = AttentionExtractor(4, f)
+    flash_mod = AttentionExtractor(4, f, use_pallas=True, pallas_min_len=64)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x, None, True)
+    out_ref = ref_mod.apply(variables, x, None, True)
+    out_flash = flash_mod.apply(variables, x, None, True)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
