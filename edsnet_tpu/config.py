@@ -108,9 +108,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--reg-loss", type=str, default="soft-iou",
                         choices=["soft-iou", "smooth-l1"])
 
-    # kept for reference-CLI compatibility (path roots now via --data-root)
     parser.add_argument("--where", type=str, choices=["kaggle", "local"],
-                        default="local")
+                        default="local",
+                        help="accepted for reference-CLI compatibility and "
+                             "IGNORED: the reference used it to switch "
+                             "hard-coded kaggle/local path roots "
+                             "(data_helper.py:44-56); use --data-root")
 
     # TPU-native additions
     parser.add_argument("--data-root", type=str, default=None,

@@ -89,3 +89,34 @@ def test_anchor_based_learns(tmp_path):
     best, f1_list, _ = train(args, split, tmp_path / "ckpt.pt")
     assert best > f1_list[0] + 0.1, (best, f1_list[:5])
     assert best > 0.45, (best, f1_list[::10])
+
+
+def test_anchor_free_learns(tmp_path):
+    """AF head must also provably learn: cls*ctr ranking converges slower
+    than AB's cls-only ranking (centerness is unconstrained at negatives,
+    anchor_free/losses.py:90-97), so this runs reference-scale epochs with
+    sparse eval and asserts the best F-score clearly beats epoch 0."""
+    import argparse
+
+    from edsnet_tpu.trainer import train
+    from edsnet_tpu.data.dataset import load_yaml
+
+    split_path = _make_learnable_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    args = argparse.Namespace(
+        model="anchor-free", model_depth="shallow", base_model="linear",
+        orientation="paper", pooling_type="roi", num_feature=24,
+        num_hidden=16, num_head=2, fc_depth=1, attention_depth=1,
+        encoder_type="classic", anchor_scales=(4,), lr=3e-3,
+        weight_decay=0.0, lambda_reg=1.0, lambda_ctr=1.0, cls_loss="focal",
+        reg_loss="soft-iou", nms_thresh=0.5, max_epoch=500, seed=0,
+        data_root=str(tmp_path), batch_size=8, bucket_size=32,
+        num_devices=1, model_dir=str(tmp_path / "maf"), profile=False,
+        eval_every=10, resume=False,
+        neg_sample_ratio=2.0, incomplete_sample_ratio=1.0,
+        pos_iou_thresh=0.6, neg_iou_thresh=0.0, incomplete_iou_thresh=0.3)
+
+    best, f1_list, _ = train(args, split, tmp_path / "ckpt_af.pt")
+    assert best > f1_list[0] + 0.1, (best, f1_list[:5])
+    assert best > 0.45, (best, f1_list)
