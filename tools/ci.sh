@@ -1,0 +1,35 @@
+#!/bin/bash
+# Test gate — the moral equivalent of the reference's GitHub Actions
+# workflow (.github/workflows/unit-test.yml) for this environment.
+# Runs the full suite on the virtual 8-device CPU mesh, then the driver
+# entry points (single-chip compile check + multi-chip dryrun).
+#
+#   bash tools/ci.sh            # full gate
+#   bash tools/ci.sh --fast     # skip the slower parity + learning suites
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export JAX_PLATFORMS=cpu
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/jax_test}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
+export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=-1
+
+PYTEST_ARGS=(tests/ -q)
+if [[ "${1:-}" == "--fast" ]]; then
+    PYTEST_ARGS+=(--ignore=tests/parity --ignore=tests/test_learning.py)
+fi
+
+echo "== pytest =="
+python -m pytest "${PYTEST_ARGS[@]}"
+
+echo "== driver entry (single-chip compile) + multi-chip dryrun =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'PY'
+import jax
+from __graft_entry__ import entry, dryrun_multichip
+fn, args = entry()
+out = jax.jit(fn)(*args)
+print("entry ok:", jax.tree.map(lambda t: t.shape, out))
+dryrun_multichip(8)
+PY
+
+echo "CI gate passed."
