@@ -12,11 +12,11 @@ retired in round 2: XLA's fusion beat it at every feasible size (0.021 vs
 0.035 ms at paper shapes, 0.61 vs 0.82 ms at N=4096 — see DESIGN.md);
 the repo's Pallas effort moved to flash attention for the vanilla
 backbone (kernels/flash_attention.py), where the roofline argument
-actually favors a hand-written kernel.  We adopt the reference's *masked*
-semantics (nystroformer.py:87-126) for padded buckets.  The reference's
-internal front-padding (to a multiple of num_landmarks) is a no-op when
-the bucket length is already a multiple of 64, which the data pipeline
-guarantees.
+actually favors a hand-written kernel.  Padded buckets reproduce the
+reference's *exact-length* computation per video (round 2): the per-video
+front-pad landmark grouping is emulated with assignment matrices — see
+``nystrom_core_jnp`` — so the padded==unpadded invariant holds for this
+backbone too.
 """
 from __future__ import annotations
 
@@ -31,26 +31,18 @@ from edsnet_tpu.models.common import XAVIER2, BIAS01
 NEG = -1e30
 
 
-def moore_penrose_pinv(x, iters: int = 6, global_init: bool = False):
+def moore_penrose_pinv(x, iters: int = 6):
     """Newton–Schulz iterative pseudo-inverse. (nystroformer.py:13-28)
 
-    Deviation: the z0 scaling uses per-matrix (batch, head) maxima of the
-    column/row sums, where the reference takes the *global* max across the
-    whole batch (an einops artifact at nystroformer.py:19).  Both are valid
-    NS initializations converging to the same pseudo-inverse; per-matrix
-    conditioning is tighter and matches the fused Pallas kernel exactly.
-    ``global_init=True`` reproduces the reference's global-max z0 bitwise
-    (used by the cross-framework parity harness in tests/parity/).
+    z0 scaling uses the per-video max of the column/row sums across heads
+    and landmarks — exactly the reference's einops reduction at
+    nystroformer.py:19 (its '...' spans the head axis; batch is 1 there,
+    so per-video == its global max).  x: [B, H, m, m].
     """
     abs_x = jnp.abs(x)
-    if global_init:
-        col = jnp.max(jnp.sum(abs_x, axis=-1))
-        row = jnp.max(jnp.sum(abs_x, axis=-2))
-        z = jnp.swapaxes(x, -1, -2) / (col * row)
-    else:
-        col = jnp.max(jnp.sum(abs_x, axis=-1), axis=-1, keepdims=True)
-        row = jnp.max(jnp.sum(abs_x, axis=-2), axis=-1, keepdims=True)
-        z = jnp.swapaxes(x, -1, -2) / (col * row)[..., None]
+    col = jnp.max(jnp.sum(abs_x, axis=-1), axis=(-2, -1), keepdims=True)
+    row = jnp.max(jnp.sum(abs_x, axis=-2), axis=(-2, -1), keepdims=True)
+    z = jnp.swapaxes(x, -1, -2) / (col * row)[..., None]
 
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
@@ -64,45 +56,74 @@ def moore_penrose_pinv(x, iters: int = 6, global_init: bool = False):
 
 
 def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
-                     pinv_iterations: int, eps: float = 1e-8,
-                     pinv_global_init: bool = False):
-    """Landmark attention core. q/k/v: [B, H, N, D] (masked, q scaled);
-    mask: [B, N] or None. Returns [B, H, N, D]."""
-    b, h, n_p, d = q.shape
+                     pinv_iterations: int, eps: float = 1e-8):
+    """Landmark attention core. q/k/v: [B, H, L, D] (masked, q scaled);
+    mask: [B, L] or None. Returns [B, H, L, D].
+
+    Length semantics are EXACT per video: the reference front-pads each
+    (batch-1, unmasked) video to n_p = ceil(n/m)*m and groups consecutive
+    l_v = n_p/m positions per landmark (nystroformer.py:72-111).  Inside a
+    padded bucket the true length n varies per video, so the same grouping
+    is reproduced with a per-video landmark-assignment matrix
+    A[b, g, t] = [ (t + pad_b) // l_v_b == g ] — one [B, m, L] one-hot
+    contraction per Q/K, MXU-cheap — and the reference's *unmasked*
+    softmax semantics: landmark groups that fall entirely in the front pad
+    are zero vectors that legitimately enter the softmaxes (exp(0) terms),
+    and attn3's denominator counts the pad_b phantom zero-logit positions.
+    Every real position therefore matches the reference's exact-length
+    computation; bucket-pad rows are garbage and masked downstream.
+    """
+    b, h, L, d = q.shape
     m = num_landmarks
-    l = n_p // m
 
-    def landmarks(t):
-        return t.reshape(b, h, m, l, d).sum(axis=3)
-
-    q_l, k_l = landmarks(q), landmarks(k)
     if mask is None:
-        divisor = jnp.asarray(float(l), q.dtype)
-        lm_valid = None
+        l = L // m
+
+        def landmarks(t):
+            return t.reshape(b, h, m, l, d).sum(axis=3) / float(l)
+
+        q_l, k_l = landmarks(q), landmarks(k)
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)
+        attn1 = nn.softmax(sim1, axis=-1)
+        attn2 = nn.softmax(sim2, axis=-1)
+        attn3 = nn.softmax(sim3, axis=-1)
     else:
-        counts = mask.reshape(b, m, l).sum(axis=-1)  # [B, m]
-        divisor = (counts[:, None, :, None] + eps).astype(q.dtype)
-        lm_valid = counts > 0  # [B, m]
-    q_l = q_l / divisor
-    k_l = k_l / divisor
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)        # [B]
+        l_v = jnp.maximum(-(-lengths // m), 1)                    # [B]
+        pad_v = l_v * m - lengths                                 # [B]
+        t_ax = jnp.arange(L)
+        g_of_t = (t_ax[None, :] + pad_v[:, None]) // l_v[:, None]  # [B, L]
+        assign = (g_of_t[:, None, :] == jnp.arange(m)[None, :, None]) \
+            & mask[:, None, :]
+        assign = assign.astype(q.dtype)                           # [B,m,L]
+        inv_l = (1.0 / l_v.astype(q.dtype))[:, None, None, None]
 
-    sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,Np,m]
-    sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]
-    sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)     # [B,H,m,Np]
+        q_l = jnp.einsum("bmt,bhtd->bhmd", assign, q) * inv_l
+        k_l = jnp.einsum("bmt,bhtd->bhmd", assign, k) * inv_l
 
-    if mask is not None:
-        pm = mask[:, None, :, None]
-        lm = lm_valid[:, None, :, None]
-        sim1 = jnp.where(pm & lm.transpose(0, 1, 3, 2), sim1, NEG)
-        sim2 = jnp.where(lm & lm.transpose(0, 1, 3, 2), sim2, NEG)
-        sim3 = jnp.where(lm & pm.transpose(0, 1, 3, 2), sim3, NEG)
+        sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,L,m]
+        sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]
+        sim3 = jnp.einsum("bhid,bhjd->bhij", q_l, k)     # [B,H,m,L]
 
-    attn1 = nn.softmax(sim1, axis=-1)
-    attn2 = nn.softmax(sim2, axis=-1)
-    attn3 = nn.softmax(sim3, axis=-1)
-    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations,
-                                   global_init=pinv_global_init)
+        attn1 = nn.softmax(sim1, axis=-1)
+        attn2 = nn.softmax(sim2, axis=-1)
+        # attn3: softmax over the reference's n_p = n + pad_v positions —
+        # n real logits plus pad_v phantom zeros (front-pad rows have
+        # k = 0 => logit 0 in the reference); bucket-pad entries beyond n
+        # are excluded but their phantom count is added to the denominator
+        pm = mask[:, None, None, :]
+        s3 = jnp.where(pm, sim3, NEG)
+        max_real = jnp.max(s3, axis=-1, keepdims=True)
+        phantom = (pad_v > 0)[:, None, None, None]
+        m3 = jnp.maximum(max_real, jnp.where(phantom, 0.0, NEG))
+        num = jnp.where(pm, jnp.exp(s3 - m3), 0.0)
+        denom = jnp.sum(num, axis=-1, keepdims=True) \
+            + pad_v.astype(q.dtype)[:, None, None, None] * jnp.exp(-m3)
+        attn3 = num / jnp.maximum(denom, eps)
 
+    attn2_inv = moore_penrose_pinv(attn2, pinv_iterations)
     return (attn1 @ attn2_inv) @ (attn3 @ v)
 
 
@@ -116,8 +137,6 @@ class NystromAttention(nn.Module):
     residual_conv_kernel: int = 33
     eps: float = 1e-8
     dropout: float = 0.0
-    # reference-exact z0 for the NS pinv (see moore_penrose_pinv)
-    pinv_global_init: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -126,17 +145,16 @@ class NystromAttention(nn.Module):
         h, m = self.heads, self.num_landmarks
         inner = h * self.dim_head
 
-        # pad the front so n is a multiple of m.  The reference zero-pads
-        # WITHOUT fabricating a mask when none was passed
-        # (nystroformer.py:72-78): pad rows then enter the landmark means
-        # with divisor l.  Reproduced exactly; a caller-supplied mask is
-        # extended with False over the pad.
+        # Unmasked input: front-pad with zeros so n is a multiple of m,
+        # exactly like the reference (nystroformer.py:72-78; no mask is
+        # fabricated — pad rows enter the landmark means with divisor l).
+        # Masked input: no padding here — nystrom_core_jnp emulates the
+        # reference's per-video front-pad grouping analytically, so any
+        # bucket length works and every real position is exact.
         remainder = n % m
-        pad = (m - remainder) if remainder > 0 else 0
+        pad = (m - remainder) if (remainder > 0 and mask is None) else 0
         if pad:
             x = jnp.pad(x, ((0, 0), (pad, 0), (0, 0)))
-            if mask is not None:
-                mask = jnp.pad(mask, ((0, 0), (pad, 0)))
         n_p = n + pad
 
         qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=XAVIER2,
@@ -155,7 +173,7 @@ class NystromAttention(nn.Module):
         q = q * (self.dim_head ** -0.5)
 
         out = nystrom_core_jnp(q, k, v, mask, m, self.pinv_iterations,
-                               self.eps, self.pinv_global_init)
+                               self.eps)
 
         if self.residual:
             # depthwise conv over time per head (nystroformer.py:65,137-138)

@@ -35,14 +35,11 @@ def test_base_model_shapes(base):
     assert np.isfinite(np.asarray(out)).all()
 
 
-# since round 2 the invariant holds for every backbone EXCEPT nystromformer,
-# including the length-dependent spectral mixers (true-length DFT, pywt
-# odd-boundary fix).  Nystromformer's landmark grouping spans the padded
-# length by construction — the reference's own masked code path
-# (nystroformer.py:95-126) has the same property — so its bucketed output
-# is a (equally valid) Nystrom approximation at bucket granularity, pinned
-# instead by the cross-framework parity tests at aligned lengths.
-MASK_EXACT = tuple(b for b in BASE_MODELS if b != "nystromformer")
+# since round 2 the invariant holds for EVERY backbone: spectral mixers
+# compute the true-length DFT / pywt boundary, and nystromformer emulates
+# the reference's per-video front-pad landmark grouping analytically
+# (models/nystromformer.py:nystrom_core_jnp)
+MASK_EXACT = BASE_MODELS
 
 
 @pytest.mark.parametrize("n_real", [24, 23])   # 23: odd-length dwt boundary
