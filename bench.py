@@ -76,10 +76,17 @@ def bench_ours() -> float:
     for _ in range(WARMUP):
         float(run_k(x0, jnp_int32(1)))
 
-    k1, k2 = 5, 55
-    t1 = min(_timed_chain(k1, run_k, x0) for _ in range(2))
-    t2 = min(_timed_chain(k2, run_k, x0) for _ in range(2))
-    step_time = max((t2 - t1) / (k2 - k1), 1e-9)
+    # median of 5 slope estimates over a long chain: the tunneled platform
+    # shows run-to-run variance of +-20%; the median is robust to both
+    # slow outliers (noise inflates t2) and fast ones (noise deflates the
+    # difference), where min/max would bias the estimate
+    k1, k2 = 5, 105
+    slopes = []
+    for _ in range(5):
+        t1 = _timed_chain(k1, run_k, x0)
+        t2 = _timed_chain(k2, run_k, x0)
+        slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    step_time = float(np.median(slopes))
     return BATCH * SEQ_LEN / step_time
 
 
