@@ -64,8 +64,10 @@ def main():
 
             float(run_k(xs[0], jnp.int32(1)))  # warmup/compile
             k1, k2 = 5, 5 + args.steps
-            t1 = min(timed(k1) for _ in range(2))
-            t2 = min(timed(k2) for _ in range(2))
+            # min-of-5 per chain length (tunnel noise is additive), then
+            # difference the two robust estimates (see bench.py)
+            t1 = min(timed(k1) for _ in range(5))
+            t2 = min(timed(k2) for _ in range(5))
             dt = max(t2 - t1, 1e-9)
             print(json.dumps({
                 "backbone": name,
