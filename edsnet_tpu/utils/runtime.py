@@ -18,6 +18,22 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
 
     import jax
 
+    # Multi-host: when launched under a multi-process TPU runtime (GKE /
+    # tpu-vm with the standard coordinator env), join the cluster so
+    # jax.devices() spans all hosts and the data mesh shards globally.
+    # Single-host runs (this box) have none of these variables set.
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")) \
+            and not getattr(setup_runtime, "_distributed", False):
+        try:
+            jax.distributed.initialize()
+            setup_runtime._distributed = True
+        except Exception as e:  # never block single-host work
+            import logging
+            logging.getLogger().warning(
+                f"jax.distributed.initialize failed: {e}; continuing "
+                f"single-process")
+
     if matmul_precision:
         jax.config.update("jax_default_matmul_precision", matmul_precision)
 
