@@ -52,7 +52,22 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
             def zeros(shape, dtype=np.float32):
                 return np.zeros((b,) + shape, dtype)
 
+            # uniform-picks fast path: the standard eccv16 layout has
+            # picks == arange(n)*rate with n_frames <= n*rate; when every
+            # video in the chunk satisfies it, the device keyshot summary
+            # upsamples by broadcast instead of searchsorted+gather
+            rates = set()
+            for r in chunk:
+                d = np.diff(r.picks)
+                if (d.size and (d == d[0]).all() and r.picks[0] == 0
+                        and int(r.n_frames) <= r.picks.size * int(d[0])):
+                    rates.add(int(d[0]))
+                else:
+                    rates.add(0)
+            uniform_rate = rates.pop() if len(rates) == 1 else 0
+
             out = {
+                "uniform_rate": uniform_rate,
                 "seq": zeros((blen, feat)),
                 "mask": zeros((blen,), bool),
                 "lens": np.zeros(b, np.int32),
@@ -101,9 +116,10 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
 
 
 @partial(jax.jit, static_argnames=("model", "num_scales", "nms_thresh",
-                                   "frame_bucket"))
+                                   "frame_bucket", "uniform_rate"))
 def _eval_batch_device(model, variables, batch, num_scales: int,
-                       nms_thresh: float, frame_bucket: int):
+                       nms_thresh: float, frame_bucket: int,
+                       uniform_rate: int = 0):
     if "motion" in batch:
         # cross-attention motion head (models/dsnet.py:329-332)
         pred_cls, boxes = model.apply(
@@ -131,7 +147,7 @@ def _eval_batch_device(model, variables, batch, num_scales: int,
 
         summ = summ_ops.keyshot_summ_jax(
             score, picks, cps, nfps, seg_valid, n_frames,
-            max_frames=frame_bucket)
+            max_frames=frame_bucket, uniform_sample_rate=uniform_rate)
 
         f1s = summ_ops.f1_score_jax(user_summary,
                                     jnp.broadcast_to(summ, user_summary.shape))
@@ -169,7 +185,8 @@ def evaluate_on_device(model, variables, records: List[VideoRecord],
               if isinstance(v, np.ndarray)}
         frame_bucket = batch["frame_bucket"]
         fs, summs = _eval_batch_device(
-            model, variables, jb, num_scales, nms_thresh, frame_bucket)
+            model, variables, jb, num_scales, nms_thresh, frame_bucket,
+            uniform_rate=batch["uniform_rate"])
         fs = np.asarray(fs)
         summs = np.asarray(summs)
         for j, r in enumerate(batch["records"]):
