@@ -98,10 +98,10 @@ def main():
         return time.perf_counter() - t0
 
     float(run_k(params0, opt0, jnp.int32(1)))
+    # median of 5 slopes (see bench.py: tunnel variance)
     k1, k2 = 3, 3 + args.steps
-    t1 = min(timed(k1) for _ in range(2))
-    t2 = min(timed(k2) for _ in range(2))
-    dt = max(t2 - t1, 1e-9)
+    slopes = sorted(max(timed(k2) - timed(k1), 1e-9) for _ in range(5))
+    dt = slopes[2]
     print(json.dumps({
         "metric": "train_step",
         "base_model": args.base_model,

@@ -164,32 +164,81 @@ def _eval_batch_device(model, variables, batch, num_scales: int,
     return fscores, summs
 
 
-def evaluate_on_device(model, variables, records: List[VideoRecord],
-                       nms_thresh: float, batch_size: int = 4,
-                       bucket_size: int = 64):
-    """All-device F-score evaluation; returns (mean_fscore, mean_diversity).
+def prepare_eval_batches(records: List[VideoRecord], batch_size: int,
+                         bucket_size: int) -> List[Dict]:
+    """Upload eval batches to the device ONCE for reuse across epochs.
 
-    Diversity still computed host-side from the returned summaries (it is
-    cheap and only logged).
+    Train-time eval runs every epoch on the same records; re-uploading
+    ~20 MB of padded eval inputs per epoch dominated wall-clock on the
+    tunneled platform.  The returned list feeds evaluate_on_device's
+    ``prepared=`` argument.
     """
-    num_scales = getattr(model, "anchor_scales", None)
-    if num_scales is not None:
-        from edsnet_tpu.ops.anchors import anchor_scales_list
-        num_scales = len(anchor_scales_list(num_scales))
-    else:
-        num_scales = 1
-
-    fscores, diversities = [], []
+    prepared = []
     for batch in batch_eval_device(records, batch_size, bucket_size):
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
-        frame_bucket = batch["frame_bucket"]
+        prepared.append({"jb": jb, "frame_bucket": batch["frame_bucket"],
+                         "uniform_rate": batch["uniform_rate"],
+                         "records": batch["records"]})
+    return prepared
+
+
+def _num_scales_of(model) -> int:
+    num_scales = getattr(model, "anchor_scales", None)
+    if num_scales is not None:
+        from edsnet_tpu.ops.anchors import anchor_scales_list
+        return len(anchor_scales_list(num_scales))
+    return 1
+
+
+def eval_fscore_device(model, variables, prepared, nms_thresh: float):
+    """Mean validation F-score as a DEVICE scalar — zero host syncs.
+
+    The train loop calls this every epoch; fetching the value (or any
+    metric) costs a 100ms+ tunnel round-trip, so the trainer keeps the
+    whole best-checkpoint bookkeeping on device and syncs only on logging
+    epochs and at the end.
+    """
+    num_scales = _num_scales_of(model)
+    total = jnp.float32(0)
+    count = 0
+    for entry in prepared:
+        fs, _ = _eval_batch_device(
+            model, variables, entry["jb"], num_scales, nms_thresh,
+            entry["frame_bucket"], uniform_rate=entry["uniform_rate"])
+        total = total + jnp.sum(fs)
+        count += len(entry["records"])
+    return total / max(count, 1)
+
+
+def evaluate_on_device(model, variables, records: List[VideoRecord],
+                       nms_thresh: float, batch_size: int = 4,
+                       bucket_size: int = 64, prepared=None):
+    """All-device F-score evaluation; returns (mean_fscore, mean_diversity).
+
+    Diversity still computed host-side from the returned summaries (it is
+    cheap and only logged).  Pass ``prepared`` (prepare_eval_batches) when
+    evaluating the same records repeatedly.
+    """
+    num_scales = _num_scales_of(model)
+
+    if prepared is None:
+        prepared = prepare_eval_batches(records, batch_size, bucket_size)
+
+    # dispatch every batch first, fetch once: host syncs cost 100ms+ on
+    # tunneled platforms, so per-batch np.asarray() made eval dominate the
+    # training wall-clock (~7 buckets -> ~14 syncs per epoch)
+    pending = []
+    for entry in prepared:
         fs, summs = _eval_batch_device(
-            model, variables, jb, num_scales, nms_thresh, frame_bucket,
-            uniform_rate=batch["uniform_rate"])
-        fs = np.asarray(fs)
-        summs = np.asarray(summs)
-        for j, r in enumerate(batch["records"]):
+            model, variables, entry["jb"], num_scales, nms_thresh,
+            entry["frame_bucket"], uniform_rate=entry["uniform_rate"])
+        pending.append((fs, summs, entry["records"]))
+
+    fscores, diversities = [], []
+    fetched = jax.device_get([(fs, summs) for fs, summs, _ in pending])
+    for (fs, summs), (_, _, recs) in zip(fetched, pending):
+        for j, r in enumerate(recs):
             fscores.append(float(fs[j]))
             seq_len = r.seq.shape[0]
             down = summs[j][:int(r.n_frames)][::summ_ops.SAMPLE_RATE]

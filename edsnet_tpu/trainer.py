@@ -85,6 +85,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
 
     val_set = VideoDataset(split["test_keys"], args.data_root)
     val_records = [val_set[i] for i in range(len(val_set))]
+    # eval inputs live on device across epochs (tunnel uploads are slow)
+    prepared_eval = None
+    if not getattr(args, "host_eval", False):
+        from edsnet_tpu.parallel.eval_device import prepare_eval_batches
+        prepared_eval = prepare_eval_batches(
+            val_records, max(args.batch_size, 1), args.bucket_size)
 
     if args.model_depth == "cross-attention":
         missing = [it.key for it in items if it.motion is None]
@@ -163,6 +169,31 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         rng.shuffle(plan)
         return plan
 
+    # Async best-checkpoint tracking: the best params live ON DEVICE and
+    # the per-epoch F-score stays a device scalar, so steady-state epochs
+    # run with ZERO host round-trips (a tunnel sync costs 100ms+ and was
+    # the wall-clock floor).  Host code syncs only on logging epochs and
+    # once at the end.  --resume and --host-eval keep the per-epoch host
+    # path (they need host-side state every epoch).
+    async_best = prepared_eval is not None \
+        and not getattr(args, "resume", False)
+    if async_best:
+        from edsnet_tpu.parallel.eval_device import eval_fscore_device
+
+        # fresh buffers: ab/af_train_step donates the state, which would
+        # invalidate a bare reference to the initial params
+        best_params_dev = jax.tree.map(jnp.copy, state.params)
+        best_f_dev = jnp.float32(max_val_fscore)
+        fscore_hist: List = []
+
+        @jax.jit
+        def update_best(params, best_params, val_f, best_f):
+            improved = val_f > best_f
+            new_best = jax.tree.map(
+                lambda p, b: jnp.where(improved, p, b), params,
+                best_params)
+            return new_best, jnp.maximum(val_f, best_f)
+
     epoch_metrics: List = []
     for epoch in range(start_epoch, args.max_epoch):
         start = time.time()
@@ -205,21 +236,45 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         eval_every = max(getattr(args, "eval_every", 1), 1)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
             continue
-        # metrics are fetched only on eval epochs: on tunneled platforms a
-        # host sync costs seconds, so stats cover the window since the last
-        # eval rather than a single epoch
+        variables = {"params": state.params, **(state.constants or {})}
+        log_every = max(30 if is_ab else 20, eval_every)
+        should_log = epoch % log_every < eval_every
+
+        if async_best:
+            # device eval -> device best-params update; nothing synced
+            val_f_dev = eval_fscore_device(model, variables, prepared_eval,
+                                           args.nms_thresh)
+            best_params_dev, best_f_dev = update_best(
+                state.params, best_params_dev, val_f_dev, best_f_dev)
+            fscore_hist.append(val_f_dev)
+            epoch_list.append(epoch)
+            if should_log:
+                for m in jax.device_get(epoch_metrics):
+                    stats.update(**{k: float(v) for k, v in m.items()})
+                epoch_metrics.clear()
+                logger.info(
+                    f"Epoch: {epoch}/{args.max_epoch} "
+                    f"Loss: {stats.cls_loss:.4f}/{stats.loc_loss:.4f}"
+                    f"/{stats.loss:.4f} "
+                    f"F-score cur/max: {float(val_f_dev):.4f}/"
+                    f"{float(best_f_dev):.4f} "
+                    f"Time: {time_list[-1]:.2f}s")
+            continue
+
+        # synchronous host path (--host-eval / --resume)
         for m in jax.device_get(epoch_metrics):
             stats.update(**{k: float(v) for k, v in m.items()})
         epoch_metrics.clear()
-        variables = {"params": state.params, **(state.constants or {})}
-        # device eval is the default: the whole NMS+knapsack+F1 pipeline
-        # stays on the accelerator so train-time eval never stalls it
-        eval_fn = evaluate if getattr(args, "host_eval", False) \
-            else evaluate_on_device
-        val_fscore, _ = eval_fn(model, variables, val_records,
-                                args.nms_thresh,
-                                batch_size=max(args.batch_size, 1),
-                                bucket_size=args.bucket_size)
+        if prepared_eval is None:
+            val_fscore, _ = evaluate(model, variables, val_records,
+                                     args.nms_thresh,
+                                     batch_size=max(args.batch_size, 1),
+                                     bucket_size=args.bucket_size)
+        else:
+            val_fscore, _ = evaluate_on_device(
+                model, variables, val_records, args.nms_thresh,
+                batch_size=max(args.batch_size, 1),
+                bucket_size=args.bucket_size, prepared=prepared_eval)
         f1_list.append(val_fscore)
         epoch_list.append(epoch)
 
@@ -230,15 +285,23 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             ckpt_lib.save_train_state(state, epoch + 1, max_val_fscore,
                                       state_path)
 
-        log_every = max(30 if is_ab else 20,
-                        getattr(args, "eval_every", 1))
-        if epoch % log_every < max(getattr(args, "eval_every", 1), 1):
+        if should_log:
             logger.info(f"Epoch: {epoch}/{args.max_epoch} "
                         f"Loss: {stats.cls_loss:.4f}/{stats.loc_loss:.4f}"
                         f"/{stats.loss:.4f} "
                         f"F-score cur/max: {val_fscore:.4f}/"
                         f"{max_val_fscore:.4f} "
                         f"Time: {time_list[-1]:.2f}s")
+
+    if async_best:
+        # single end-of-training sync: history, best params, checkpoint
+        f1_list = [float(v) for v in jax.device_get(fscore_hist)]
+        best_f = float(best_f_dev)
+        if best_f > max_val_fscore:
+            max_val_fscore = best_f
+            ckpt_lib.save_checkpoint(
+                {"params": best_params_dev, **(state.constants or {})},
+                save_path)
 
     if time_list:
         t = np.asarray(time_list)

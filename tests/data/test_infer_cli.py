@@ -7,7 +7,8 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 
-def test_infer_cli_end_to_end(tmp_path, monkeypatch):
+@pytest.mark.parametrize("device_kts", [False, True])
+def test_infer_cli_end_to_end(tmp_path, monkeypatch, device_kts):
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +51,8 @@ def test_infer_cli_end_to_end(tmp_path, monkeypatch):
             "--fc-depth", "1", "--ckpt-path", str(ckpt_path),
             "--source", str(src), "--save-path", str(save_path),
             "--feature-extractor", "random"]
+    if device_kts:
+        argv.append("--device-kts")
     monkeypatch.setattr(sys, "argv", argv)
     infer.main()
 

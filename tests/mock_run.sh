@@ -49,4 +49,5 @@ done
 python -m edsnet_tpu.make_split --dataset $WORK/mock_tvsum.h5 \
     --save-path $WORK/new_split.yml --num-splits 2 --seed 0
 python -m edsnet_tpu.make_shots --dataset $WORK/mock_tvsum.h5
+python -m edsnet_tpu.make_shots --dataset $WORK/mock_tvsum.h5 --device-kts
 echo "mock run complete"
