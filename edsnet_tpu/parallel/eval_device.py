@@ -33,17 +33,23 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
     user_summary [B,U,Fr], user_valid [B,U], is_avg [B] (tvsum metric),
     video_valid [B]; static dims L (seq bucket), S, Fr (frame bucket), U.
     """
+    # coarse buckets: every distinct (seq bucket, frame bucket) pair is a
+    # separate XLA program, and compiles are minutes-expensive on the
+    # remote-compile platform — fewer, larger buckets trade a little
+    # padded compute (masked exactly, so results are unchanged) for far
+    # fewer compiles
+    seq_gran = max(bucket_size, 256)
     buckets: Dict[int, List[VideoRecord]] = {}
     for r in records:
-        blen = _round_up(max(r.seq.shape[0], 1), bucket_size)
+        blen = _round_up(max(r.seq.shape[0], 1), seq_gran)
         buckets.setdefault(blen, []).append(r)
 
     for blen, group in buckets.items():
         for i in range(0, len(group), batch_size):
             chunk = group[i:i + batch_size]
-            b = len(chunk)
-            s_max = max(len(r.cps) for r in chunk)
-            fr_max = _round_up(max(int(r.n_frames) for r in chunk), 256)
+            b = batch_size        # ragged final chunks pad (fewer compiles)
+            s_max = _round_up(max(len(r.cps) for r in chunk), 16)
+            fr_max = _round_up(max(int(r.n_frames) for r in chunk), 4096)
             u_max = max((0 if r.user_summary is None
                          else r.user_summary.shape[0]) for r in chunk)
             u_max = max(u_max, 1)
@@ -68,6 +74,7 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
 
             out = {
                 "uniform_rate": uniform_rate,
+                "video_valid": np.arange(b) < len(chunk),
                 "seq": zeros((blen, feat)),
                 "mask": zeros((blen,), bool),
                 "lens": np.zeros(b, np.int32),
@@ -206,8 +213,9 @@ def eval_fscore_device(model, variables, prepared, nms_thresh: float):
         fs, _ = _eval_batch_device(
             model, variables, entry["jb"], num_scales, nms_thresh,
             entry["frame_bucket"], uniform_rate=entry["uniform_rate"])
-        total = total + jnp.sum(fs)
-        count += len(entry["records"])
+        n_real = len(entry["records"])
+        total = total + jnp.sum(fs[:n_real])
+        count += n_real
     return total / max(count, 1)
 
 
