@@ -19,7 +19,6 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-import jax
 
 from edsnet_tpu.data.dataset import VideoDataset, VideoRecord
 from edsnet_tpu.ops import anchor_free as af_ops
@@ -79,27 +78,28 @@ def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
     if target is None:
         return None
     n = target.shape[0]
-    # label math runs at bucketed shapes on the host CPU backend: per-video
-    # unique shapes would trigger one XLA compile each (pathological on a
-    # remote-compile TPU platform), and these arrays are tiny
+    # label math is pure numpy on the host: the accelerator runtime never
+    # sees it (per-video shapes would otherwise each pay a remote compile)
     n_pad = _bucket_len(n, bucket_size)
     target_bboxes = bbox_ops.seq2bbox(target)
-    target_cw = np.asarray(bbox_ops.lr2cw(target_bboxes))
-    t = target_cw.shape[0]
+    t = target_bboxes.shape[0]
+    target_cw = np.stack(
+        [(target_bboxes[:, 0] + target_bboxes[:, 1]) * 0.5,
+         (target_bboxes[:, 1] - target_bboxes[:, 0]).astype(np.float32)],
+        axis=-1) if t else np.zeros((0, 2), np.float32)
     t_pad = _round8(t)
     target_cw_pad = np.zeros((t_pad, 2), np.float32)
     target_cw_pad[:t] = target_cw
     target_cw_pad[t:, 1] = 1.0  # nonzero width keeps iou math finite
     t_valid = np.arange(t_pad) < t
 
-    with jax.default_device(jax.devices("cpu")[0]):
-        anchors = np.asarray(anchor_ops.get_anchors(n_pad, anchor_scales))
-        cls_pos, loc_label = anchor_ops.get_pos_label(
-            anchors, target_cw_pad, pos_iou, target_valid=t_valid)
-        cls_at_neg, _ = anchor_ops.get_pos_label(
-            anchors, target_cw_pad, neg_iou, target_valid=t_valid)
-        cls_at_inc, _ = anchor_ops.get_pos_label(
-            anchors, target_cw_pad, inc_iou, target_valid=t_valid)
+    anchors = anchor_ops.get_anchors_np(n_pad, anchor_scales)
+    cls_pos, loc_label = anchor_ops.get_pos_label_np(
+        anchors, target_cw_pad, pos_iou, target_valid=t_valid)
+    cls_at_neg, _ = anchor_ops.get_pos_label_np(
+        anchors, target_cw_pad, neg_iou, target_valid=t_valid)
+    cls_at_inc, _ = anchor_ops.get_pos_label_np(
+        anchors, target_cw_pad, inc_iou, target_valid=t_valid)
 
     cls_pos = np.asarray(cls_pos)[:n]
     loc_label = np.asarray(loc_label)[:n]
@@ -122,12 +122,8 @@ def prepare_af_item(record: VideoRecord,
     if target is None:
         return None
     n = target.shape[0]
-    n_pad = _bucket_len(n, bucket_size)
-    target_pad = np.zeros(n_pad, np.int32)
-    target_pad[:n] = target
-    with jax.default_device(jax.devices("cpu")[0]):
-        loc = np.asarray(af_ops.get_loc_label(target_pad))[:n]
-        ctr = np.asarray(af_ops.get_ctr_label(target_pad[:n], loc))
+    loc = af_ops.get_loc_label_np(target)
+    ctr = af_ops.get_ctr_label_np(target, loc)
     return TrainItem(key=record.key, seq=record.seq, target=target,
                      af_loc=loc, af_ctr=ctr,
                      motion=record.motion_features)

@@ -57,3 +57,32 @@ def offset2bbox(offsets) -> Array:
     left = idx - offsets[:, 0]
     right = idx + offsets[:, 1] + 1
     return jnp.stack([left, right], axis=-1)
+
+
+# ------------------------------------------------------------------------
+# numpy twins for the HOST label-prep path (see ops/anchors.py rationale)
+
+def get_loc_label_np(target):
+    import numpy as np
+    m = np.asarray(target).astype(np.int32)
+    n = m.shape[0]
+    idx = np.arange(n)
+    last_zero = np.maximum.accumulate(np.where(m == 0, idx, -1))
+    run_l = idx - last_zero                       # ones ending here
+    rm = m[::-1]
+    last_zero_r = np.maximum.accumulate(np.where(rm == 0, idx, -1))
+    run_r = (idx - last_zero_r)[::-1]
+    inside = m > 0
+    off_l = (run_l - 1).astype(np.float32)
+    off_r = (run_r - 1).astype(np.float32)
+    return np.stack([np.where(inside, off_l, 0.0),
+                     np.where(inside, off_r, 0.0)], axis=-1)
+
+
+def get_ctr_label_np(target, offset, eps: float = 1e-8):
+    import numpy as np
+    target = np.asarray(target).astype(bool)
+    offset = np.asarray(offset, np.float32)
+    ol, orr = offset[..., 0], offset[..., 1]
+    ctr = np.minimum(ol, orr) / (np.maximum(ol, orr) + eps)
+    return np.where(target, ctr, 0.0).astype(np.float32)

@@ -12,6 +12,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from edsnet_tpu.ops.bbox import iou_cw
 
@@ -105,3 +106,58 @@ def anchor_scales_list(anchor_scales) -> List[int]:
     if isinstance(anchor_scales, int):
         return [anchor_scales]
     return list(anchor_scales)
+
+
+# ---------------------------------------------------------------------------
+# numpy twins for the HOST label-prep path
+# ---------------------------------------------------------------------------
+# prepare_items runs once per dataset on the host; routing it through jnp
+# meant one accelerator-platform compile per unique (video, target) shape —
+# ~20s each on the remote-compile tunnel, minutes of startup for a 50-video
+# dataset.  These numpy twins are semantically identical (equality pinned by
+# tests/ops/test_anchors.py) and compile nothing.
+
+def _iou_cw_np(a: "np.ndarray", t: "np.ndarray") -> "np.ndarray":
+    a_l, a_r = a[..., 0] - a[..., 1] * 0.5, a[..., 0] + a[..., 1] * 0.5
+    t_l, t_r = t[..., 0] - t[..., 1] * 0.5, t[..., 0] + t[..., 1] * 0.5
+    inter = np.maximum(np.minimum(a_r, t_r) - np.maximum(a_l, t_l), 0.0)
+    union = np.maximum(a_r, t_r) - np.minimum(a_l, t_l)
+    union = np.where(union <= 0.0, 1e-6, union)
+    return inter / union
+
+
+def get_anchors_np(seq_len: int, scales: Sequence[int]) -> "np.ndarray":
+    pos = np.arange(seq_len, dtype=np.int32)
+    sc = np.asarray(list(scales), dtype=np.int32)
+    centers = np.broadcast_to(pos[:, None], (seq_len, len(sc)))
+    widths = np.broadcast_to(sc[None, :], (seq_len, len(sc)))
+    return np.stack([centers, widths], axis=-1)
+
+
+def get_pos_label_np(anchors, targets, iou_thresh: float,
+                     target_valid=None):
+    """Numpy twin of get_pos_label (same reference loop-order semantics)."""
+    anchors = np.asarray(anchors, np.float32)
+    n, s, _ = anchors.shape
+    flat = anchors.reshape(n * s, 2)
+    targets = np.asarray(targets, np.float32).reshape(-1, 2)
+    t = targets.shape[0]
+
+    iou = _iou_cw_np(flat[None, :, :], targets[:, None, :])  # [T, A]
+    pos = iou > iou_thresh
+    if target_valid is not None:
+        pos = pos & np.asarray(target_valid, bool)[:, None]
+
+    cls_label = np.any(pos, axis=0).astype(np.int32)
+    t_idx = np.arange(t)[:, None]
+    last_t = np.max(np.where(pos, t_idx, -1), axis=0) if t else \
+        np.full(n * s, -1)
+    chosen = targets[np.clip(last_t, 0, max(t - 1, 0))] if t else \
+        np.zeros((n * s, 2), np.float32)
+    oc = (chosen[:, 0] - flat[:, 0]) / flat[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ow = np.log(chosen[:, 1] / flat[:, 1])
+    offsets = np.stack([oc, ow], axis=-1).astype(np.float32)
+    loc_label = np.where((last_t >= 0)[:, None], offsets, 0.0)
+    return cls_label.reshape(n, s), \
+        loc_label.reshape(n, s, 2).astype(np.float32)

@@ -37,7 +37,10 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
     # separate XLA program, and compiles are minutes-expensive on the
     # remote-compile platform — fewer, larger buckets trade a little
     # padded compute (masked exactly, so results are unchanged) for far
-    # fewer compiles
+    # fewer compiles.  (A single global bucket was tried and measured
+    # WORSE: the scan-heavy ops — NMS, knapsack DP — compile
+    # super-linearly in their static extents, so one big program costs
+    # more compile time than a few small ones.)
     seq_gran = max(bucket_size, 256)
     buckets: Dict[int, List[VideoRecord]] = {}
     for r in records:

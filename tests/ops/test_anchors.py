@@ -106,3 +106,35 @@ class TestAnchorFreeHelper:
         out = np.asarray(anchor_free.offset2bbox(offset))
         ans = np.array([[-1, 3], [-2, 6]], dtype=np.float32)
         assert np.isclose(out, ans).all()
+
+
+def test_numpy_label_twins_match_jnp():
+    """The host label-prep path (pure numpy, no compiles) must equal the
+    jittable ops exactly."""
+    import numpy as np
+    from edsnet_tpu.ops import anchors as A
+    from edsnet_tpu.ops import anchor_free as AF
+
+    rng = np.random.RandomState(0)
+    n, scales = 50, [4, 8]
+    anchors_j = np.asarray(A.get_anchors(n, scales))
+    anchors_n = A.get_anchors_np(n, scales)
+    np.testing.assert_array_equal(anchors_j, anchors_n)
+
+    targets = np.asarray([[10.5, 5.0], [30.0, 8.0], [0.0, 1.0]], np.float32)
+    t_valid = np.asarray([True, True, False])
+    for thresh in (0.0, 0.3, 0.6):
+        cj, lj = A.get_pos_label(anchors_j, targets, thresh,
+                                 target_valid=t_valid)
+        cn, ln = A.get_pos_label_np(anchors_n, targets, thresh,
+                                    target_valid=t_valid)
+        np.testing.assert_array_equal(np.asarray(cj), cn)
+        np.testing.assert_allclose(np.asarray(lj), ln, rtol=1e-6)
+
+    mask = (rng.rand(64) > 0.6).astype(np.int32)
+    loc_j = np.asarray(AF.get_loc_label(mask))
+    loc_n = AF.get_loc_label_np(mask)
+    np.testing.assert_allclose(loc_j, loc_n, rtol=1e-6)
+    ctr_j = np.asarray(AF.get_ctr_label(mask, loc_j))
+    ctr_n = AF.get_ctr_label_np(mask, loc_n)
+    np.testing.assert_allclose(ctr_j, ctr_n, rtol=1e-6)
