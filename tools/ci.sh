@@ -24,7 +24,13 @@ python -m pytest "${PYTEST_ARGS[@]}"
 
 echo "== driver entry (single-chip compile) + multi-chip dryrun =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python - <<'PY'
+# this box's sitecustomize force-selects the axon TPU platform; claim the
+# virtual 8-device CPU platform before any backend initializes (same
+# strategy as tests/conftest.py)
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+jax.config.update("jax_platforms", "cpu")
 from __graft_entry__ import entry, dryrun_multichip
 fn, args = entry()
 out = jax.jit(fn)(*args)
