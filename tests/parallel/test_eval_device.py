@@ -83,3 +83,42 @@ def test_device_eval_matches_host_motion_head():
                                       bucket_size=32)
     assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
     assert abs(host_d - dev_d) < 1e-4, (host_d, dev_d)
+
+
+def test_device_eval_matches_host_nonuniform_picks():
+    """Irregular pick spacing must fall back to the exact searchsorted
+    upsample and still match the host evaluator."""
+    rng = np.random.RandomState(11)
+    records = []
+    for i, n_seq in enumerate([20, 24]):
+        # strictly increasing but non-uniform picks
+        picks = np.cumsum(rng.randint(5, 25, n_seq)).astype(np.int32)
+        picks -= picks[0]
+        n_frames = int(picks[-1]) + 10
+        bounds = np.linspace(0, n_frames, 9, dtype=np.int32)
+        feats = rng.randn(n_seq, FEAT).astype(np.float32)
+        records.append(VideoRecord(
+            key=f"x/tvsum_nu_{i}",
+            seq=feats / np.linalg.norm(feats, axis=-1, keepdims=True),
+            gtscore=rng.rand(n_seq).astype(np.float32),
+            cps=np.stack([bounds[:-1], bounds[1:] - 1], axis=1),
+            n_frames=n_frames,
+            nfps=(bounds[1:] - bounds[:-1]).astype(np.int32),
+            picks=picks,
+            user_summary=(rng.rand(3, n_frames) > 0.8).astype(np.float32)))
+
+    model = get_model("anchor-based", model_depth="shallow",
+                      base_model="linear", num_feature=FEAT, num_hidden=8,
+                      anchor_scales=(4,), num_head=2, fc_depth=1,
+                      attention_depth=1, encoder_type="classic",
+                      orientation="paper", pooling_type="roi")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, FEAT)),
+                           jnp.ones((1, 32), bool))
+    host_f, _ = evaluate(model, variables, records, nms_thresh=0.5,
+                         batch_size=2, bucket_size=32)
+    dev_f, _ = evaluate_on_device(model, variables, records,
+                                  nms_thresh=0.5, batch_size=2,
+                                  bucket_size=32)
+    assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
