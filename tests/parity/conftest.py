@@ -1,8 +1,15 @@
 """Fixtures for the cross-framework parity harness."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+
+if not os.path.isdir("/root/reference/src"):
+    pytest.skip("reference checkout not present at /root/reference",
+                allow_module_level=True)
+
 import torch
 
 from tests.parity.refload import load_reference
