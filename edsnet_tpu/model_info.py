@@ -19,7 +19,11 @@ def summarize(model, num_feature: int, seq_len: int = 128) -> str:
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     x = jnp.zeros((1, seq_len, num_feature), jnp.float32)
     mask = jnp.ones((1, seq_len), bool)
-    variables = model.init(rngs, x, mask)
+    if model.__class__.__name__ == "DSNetMotionFeatures":
+        motion = jnp.zeros((1, seq_len, num_feature), jnp.float32)
+        variables = model.init(rngs, x, motion, mask, mask)
+    else:
+        variables = model.init(rngs, x, mask)
     lines = [f"{model.__class__.__name__}:"]
     total = 0
     for coll, tree in variables.items():
