@@ -117,8 +117,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     start_epoch = 0
     state_path = Path(str(save_path) + ".state")
     if getattr(args, "resume", False) and state_path.exists():
-        state, start_epoch, max_val_fscore = ckpt_lib.load_train_state(
-            state, state_path)
+        state, start_epoch, max_val_fscore, extras = \
+            ckpt_lib.load_train_state(state, state_path)
+        if "np_rng" in extras:
+            ckpt_lib.restore_np_rng(rng, extras["np_rng"])
+        if "step_rng" in extras:
+            step_rng = jnp.asarray(extras["step_rng"], jnp.uint32)
         logger.info(f"resumed from {state_path} at epoch {start_epoch} "
                     f"(best F-score {max_val_fscore:.4f})")
     epoch_list: List[int] = []
@@ -172,11 +176,13 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     # Async best-checkpoint tracking: the best params live ON DEVICE and
     # the per-epoch F-score stays a device scalar, so steady-state epochs
     # run with ZERO host round-trips (a tunnel sync costs 100ms+ and was
-    # the wall-clock floor).  Host code syncs only on logging epochs and
-    # once at the end.  --resume and --host-eval keep the per-epoch host
-    # path (they need host-side state every epoch).
-    async_best = prepared_eval is not None \
-        and not getattr(args, "resume", False)
+    # the wall-clock floor).  Host code syncs only on logging epochs —
+    # where it also flushes the best checkpoint (and, under --resume, the
+    # full train state) to disk, so a crash loses at most one logging
+    # window — and once at the end.  --host-eval keeps the per-epoch host
+    # path (it needs host-side summaries every epoch).
+    async_best = prepared_eval is not None
+    flushed_best = max_val_fscore  # best F-score already persisted on disk
     if async_best:
         from edsnet_tpu.parallel.eval_device import eval_fscore_device
 
@@ -185,6 +191,8 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         best_params_dev = jax.tree.map(jnp.copy, state.params)
         best_f_dev = jnp.float32(max_val_fscore)
         fscore_hist: List = []
+        last_sync_t = time.time()
+        last_sync_epoch = start_epoch - 1
 
         @jax.jit
         def update_best(params, best_params, val_f, best_f):
@@ -231,7 +239,10 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
 
         time_list.append(time.time() - start)
         if epoch < 3 or (epoch + 1) % 50 == 0:
-            logger.info(f"epoch {epoch} trained in {time_list[-1]:.2f}s")
+            # async epochs only enqueue work; the fenced device time is
+            # reported at logging epochs (where the sync is already paid)
+            verb = "dispatched" if async_best else "trained"
+            logger.info(f"epoch {epoch} {verb} in {time_list[-1]:.2f}s")
 
         eval_every = max(getattr(args, "eval_every", 1), 1)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
@@ -252,16 +263,36 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                 for m in jax.device_get(epoch_metrics):
                     stats.update(**{k: float(v) for k, v in m.items()})
                 epoch_metrics.clear()
+                # device_get fenced every epoch dispatched since the last
+                # sync: wall time across that span is honest device time
+                best_f = float(best_f_dev)  # fences through the eval too
+                now = time.time()
+                span = epoch - last_sync_epoch
+                device_avg = (now - last_sync_t) / max(span, 1)
+                last_sync_t, last_sync_epoch = now, epoch
                 logger.info(
                     f"Epoch: {epoch}/{args.max_epoch} "
                     f"Loss: {stats.cls_loss:.4f}/{stats.loc_loss:.4f}"
                     f"/{stats.loss:.4f} "
                     f"F-score cur/max: {float(val_f_dev):.4f}/"
-                    f"{float(best_f_dev):.4f} "
-                    f"Time: {time_list[-1]:.2f}s")
+                    f"{best_f:.4f} "
+                    f"Dispatch: {time_list[-1]:.2f}s "
+                    f"Device: {device_avg:.2f}s/epoch "
+                    f"(fenced, avg of {span})")
+                # crash durability: persist the best-so-far checkpoint
+                # whenever the device-side best improved since last flush
+                if best_f > flushed_best:
+                    ckpt_lib.save_checkpoint(
+                        {"params": best_params_dev,
+                         **(state.constants or {})}, save_path)
+                    flushed_best = best_f
+                if getattr(args, "resume", False):
+                    ckpt_lib.save_train_state(
+                        state, epoch + 1, best_f, state_path,
+                        np_rng=rng, step_rng=step_rng)
             continue
 
-        # synchronous host path (--host-eval / --resume)
+        # synchronous host path (--host-eval)
         for m in jax.device_get(epoch_metrics):
             stats.update(**{k: float(v) for k, v in m.items()})
         epoch_metrics.clear()
@@ -283,7 +314,8 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             ckpt_lib.save_checkpoint(variables, save_path)
         if getattr(args, "resume", False):
             ckpt_lib.save_train_state(state, epoch + 1, max_val_fscore,
-                                      state_path)
+                                      state_path, np_rng=rng,
+                                      step_rng=step_rng)
 
         if should_log:
             logger.info(f"Epoch: {epoch}/{args.max_epoch} "
@@ -297,11 +329,15 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         # single end-of-training sync: history, best params, checkpoint
         f1_list = [float(v) for v in jax.device_get(fscore_hist)]
         best_f = float(best_f_dev)
-        if best_f > max_val_fscore:
-            max_val_fscore = best_f
+        max_val_fscore = max(max_val_fscore, best_f)
+        if best_f > flushed_best:
             ckpt_lib.save_checkpoint(
                 {"params": best_params_dev, **(state.constants or {})},
                 save_path)
+        if getattr(args, "resume", False):
+            ckpt_lib.save_train_state(
+                state, args.max_epoch, max_val_fscore, state_path,
+                np_rng=rng, step_rng=step_rng)
 
     if time_list:
         t = np.asarray(time_list)

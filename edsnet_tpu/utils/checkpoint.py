@@ -21,27 +21,49 @@ def save_checkpoint(variables: Any, path) -> None:
     path.write_bytes(serialization.to_bytes(variables))
 
 
-def save_train_state(state, epoch: int, best_fscore: float, path) -> None:
+def save_train_state(state, epoch: int, best_fscore: float, path,
+                     np_rng=None, step_rng=None) -> None:
     """Full resumable training snapshot (params + optimizer + progress).
 
     The reference can only save model weights (save-only, no resume —
-    SURVEY.md §5); this adds elastic restartability.
+    SURVEY.md §5); this adds elastic restartability.  When the RNG states
+    are supplied (the trainer's numpy batch-composition RandomState and the
+    jax per-step key), a resumed run replays the exact batch order and
+    dropout/negative-sampling draws of an uninterrupted one.
     """
     payload = {
         "state": serialization.to_state_dict(state),
         "epoch": epoch,
         "best_fscore": best_fscore,
     }
+    if np_rng is not None:
+        name, keys, pos, has_gauss, cached = np_rng.get_state()
+        payload["np_rng"] = {"keys": keys, "pos": pos,
+                             "has_gauss": has_gauss, "cached": cached}
+    if step_rng is not None:
+        import numpy as np
+        payload["step_rng"] = np.asarray(step_rng)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(serialization.msgpack_serialize(payload))
 
 
 def load_train_state(state_template, path):
-    """Restore (state, next_epoch, best_fscore) from a snapshot."""
+    """Restore (state, next_epoch, best_fscore, extras) from a snapshot.
+
+    ``extras`` carries the optional RNG states (``np_rng``/``step_rng``)
+    when the snapshot recorded them; empty dict for older snapshots.
+    """
     raw = serialization.msgpack_restore(Path(path).read_bytes())
     state = serialization.from_state_dict(state_template, raw["state"])
-    return state, int(raw["epoch"]), float(raw["best_fscore"])
+    extras = {k: raw[k] for k in ("np_rng", "step_rng") if k in raw}
+    return state, int(raw["epoch"]), float(raw["best_fscore"]), extras
+
+
+def restore_np_rng(rng, payload) -> None:
+    """Apply a saved numpy RandomState payload in place."""
+    rng.set_state(("MT19937", payload["keys"], int(payload["pos"]),
+                   int(payload["has_gauss"]), float(payload["cached"])))
 
 
 def load_checkpoint(model, path, example_input: Tuple) -> Any:

@@ -18,6 +18,16 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
 
     import jax
 
+    # On platforms whose jax plugin force-registers itself (the tunneled
+    # axon TPU ignores the JAX_PLATFORMS env var entirely), the config key
+    # is the only reliable override — honor an explicit --device request.
+    if device and device != "auto":
+        try:
+            jax.config.update("jax_platforms",
+                              "cpu" if device == "cpu" else device)
+        except Exception:
+            pass  # backend already initialized; env var had to win
+
     # Multi-host: when launched under a multi-process TPU runtime (GKE /
     # tpu-vm with the standard coordinator env), join the cluster so
     # jax.devices() spans all hosts and the data mesh shards globally.

@@ -1,11 +1,13 @@
-"""Checkpoint/resume: training continues from the saved train state."""
+"""Checkpoint/resume: training continues from the saved train state,
+composes with the async fast path, and survives mid-run crashes."""
+import argparse
+
 import numpy as np
 import yaml
 
 
-def test_resume_continues_training(tmp_path):
+def _make_mock_h5(tmp_path):
     import h5py
-    from edsnet_tpu.train import main
 
     rng = np.random.RandomState(0)
     h5_path = tmp_path / "mock_tvsum.h5"
@@ -27,6 +29,28 @@ def test_resume_continues_training(tmp_path):
     split_path = tmp_path / "mock.yml"
     with open(split_path, "w") as f:
         yaml.dump([{"train_keys": keys[:2], "test_keys": keys[2:]}], f)
+    return split_path
+
+
+def _train_args(tmp_path, model_dir, max_epoch, resume=True):
+    return argparse.Namespace(
+        model="anchor-based", model_depth="shallow", base_model="linear",
+        orientation="paper", pooling_type="roi", num_feature=16,
+        num_hidden=8, num_head=2, fc_depth=1, attention_depth=1,
+        encoder_type="classic", anchor_scales=(4,), lr=1e-3,
+        weight_decay=0.0, lambda_reg=1.0, lambda_ctr=1.0, cls_loss="focal",
+        reg_loss="soft-iou", nms_thresh=0.5, max_epoch=max_epoch, seed=0,
+        data_root=str(tmp_path), batch_size=2, bucket_size=32,
+        num_devices=1, model_dir=str(tmp_path / model_dir), profile=False,
+        eval_every=1, resume=resume,
+        neg_sample_ratio=2.0, incomplete_sample_ratio=1.0,
+        pos_iou_thresh=0.6, neg_iou_thresh=0.0, incomplete_iou_thresh=0.3)
+
+
+def test_resume_continues_training(tmp_path):
+    from edsnet_tpu.train import main
+
+    split_path = _make_mock_h5(tmp_path)
 
     args = ["anchor-based", "--base-model", "linear",
             "--splits", str(split_path), "--data-root", str(tmp_path),
@@ -47,3 +71,86 @@ def test_resume_continues_training(tmp_path):
     main(args + ["--max-epoch", "4"])
     raw = serialization.msgpack_restore(state_path.read_bytes())
     assert raw["epoch"] == 4
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """2 epochs + resume-to-4 must equal an uninterrupted 4-epoch run
+    bitwise: the snapshot carries both RNG streams (numpy batch
+    composition + jax per-step key), so the resumed half replays the
+    exact batches, dropout draws and negative samples."""
+    from flax import serialization
+
+    from edsnet_tpu.data.dataset import load_yaml
+    from edsnet_tpu.trainer import train
+
+    split_path = _make_mock_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    train(_train_args(tmp_path, "a", 4), split, tmp_path / "a.pt")
+    train(_train_args(tmp_path, "b", 2), split, tmp_path / "b.pt")
+    train(_train_args(tmp_path, "b", 4), split, tmp_path / "b.pt")
+
+    raw_a = serialization.msgpack_restore((tmp_path / "a.pt.state")
+                                          .read_bytes())
+    raw_b = serialization.msgpack_restore((tmp_path / "b.pt.state")
+                                          .read_bytes())
+    assert raw_a["epoch"] == raw_b["epoch"] == 4
+    assert raw_a["best_fscore"] == raw_b["best_fscore"]
+    flat_a = jax_flatten(raw_a["state"]["params"])
+    flat_b = jax_flatten(raw_b["state"]["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
+
+
+def jax_flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(jax_flatten(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = v
+    return out
+
+
+def test_async_crash_leaves_best_checkpoint(tmp_path):
+    """A crash mid-run must leave the best-so-far checkpoint on disk: the
+    async loop flushes it at logging epochs (here epochs 0 and 30), so a
+    death at epoch 35 loses at most one logging window."""
+    import pytest
+
+    from edsnet_tpu.data.dataset import load_yaml
+    from edsnet_tpu.parallel import eval_device
+    from edsnet_tpu.trainer import train
+
+    split_path = _make_mock_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    calls = {"n": 0}
+    real = eval_device.eval_fscore_device
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 35:
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    eval_device.eval_fscore_device = dying
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            train(_train_args(tmp_path, "c", 60, resume=False), split,
+                  tmp_path / "c.pt")
+    finally:
+        eval_device.eval_fscore_device = real
+
+    assert calls["n"] == 36, calls
+    # pre-round-3 the async path wrote the checkpoint only at the end of
+    # training: this file would not exist
+    assert (tmp_path / "c.pt").exists()
+    payload = serialization_restore(tmp_path / "c.pt")
+    assert "params" in payload
+
+
+def serialization_restore(path):
+    from flax import serialization
+    return serialization.msgpack_restore(path.read_bytes())
