@@ -32,11 +32,19 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
     # tpu-vm with the standard coordinator env), join the cluster so
     # jax.devices() spans all hosts and the data mesh shards globally.
     # Single-host runs (this box) have none of these variables set.
-    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
-            or os.environ.get("COORDINATOR_ADDRESS")) \
-            and not getattr(setup_runtime, "_distributed", False):
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    if coord and not getattr(setup_runtime, "_distributed", False):
         try:
-            jax.distributed.initialize()
+            kwargs = {}
+            # explicit process topology (manual CPU/GPU clusters); TPU pods
+            # auto-detect all three when the env vars are absent
+            if os.environ.get("JAX_NUM_PROCESSES"):
+                kwargs = dict(
+                    coordinator_address=coord,
+                    num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                    process_id=int(os.environ["JAX_PROCESS_ID"]))
+            jax.distributed.initialize(**kwargs)
             setup_runtime._distributed = True
         except Exception as e:  # never block single-host work
             import logging
