@@ -53,14 +53,34 @@ def _sample_marks(eligible, num, rng):
 
     Device-side equivalent of anchor_helper.get_neg_label's shuffle
     (anchor_helper.py:53-71); `num` may be traced.
+
+    Selects the `num` smallest uniform draws without a sort: a 32-step
+    radix binary search over the (monotonic for non-negative floats)
+    uint32 bit patterns finds the num-th smallest value with vectorized
+    compare+count passes — sorts lower to slow bitonic networks on TPU,
+    counts ride the VPU.  Ties at the threshold break by flat index,
+    exactly argsort's stable order, so the selected SET is identical to
+    the previous rank-of-random formulation.
     """
     shape = eligible.shape
     flat = eligible.reshape(-1)
     u = jax.random.uniform(rng, flat.shape)
     u = jnp.where(flat, u, jnp.inf)
-    order = jnp.argsort(u)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return (flat & (rank < num)).reshape(shape)
+    bits = jax.lax.bitcast_convert_type(u, jnp.uint32)
+
+    def refine(t, b):
+        cand = t | jnp.uint32(1 << b)
+        c = jnp.sum(bits < cand)
+        return jnp.where(c < num, cand, t), None
+
+    # t ends as the bit pattern of the num-th smallest draw (1-indexed)
+    t, _ = jax.lax.scan(refine, jnp.uint32(0),
+                        jnp.arange(31, -1, -1, dtype=jnp.int32))
+    below = bits < t
+    ties = bits == t
+    need = num - jnp.sum(below)
+    tie_sel = ties & (jnp.cumsum(ties) <= need)
+    return (flat & (below | tie_sel)).reshape(shape)
 
 
 def build_ab_cls_labels(batch: Dict, rng, neg_ratio: float, inc_ratio: float):
