@@ -80,9 +80,14 @@ def fetch(name: str) -> bool:
 
     spec = WEIGHTS[name]
     try:
-        torch.hub.load_state_dict_from_url(
-            spec["url"], progress=True,
-            check_hash=spec["sha256_prefix"] is not None)
+        # download-only: load_state_dict_from_url would also DESERIALIZE
+        # through torch.load's pickle path, executing whatever a
+        # compromised upstream file contains; consumers later load with
+        # weights_only=True
+        hub_dir().mkdir(parents=True, exist_ok=True)
+        torch.hub.download_url_to_file(
+            spec["url"], str(cached_path(name)), progress=True,
+            hash_prefix=spec["sha256_prefix"])
     except Exception as e:   # no egress, bad proxy, upstream moved...
         print(f"{name}: download failed ({type(e).__name__}: "
               f"{str(e)[:120]})")

@@ -26,14 +26,24 @@ TRIM_TOLERANCE = 5  # frames (make_dataset.py:63-74)
 
 def find_sources(video_dir: str, motion_dir: Optional[str]
                  ) -> List[Tuple[Path, Optional[Path]]]:
-    """Pair each .mp4 with its positional .npy motion dump (if any)."""
+    """Pair each .mp4 with its .npy motion dump by filename stem.
+
+    (The reference zips sorted listings — `make_dataset.py:93-99` — so one
+    missing .npy silently shifts every later pairing onto the wrong video;
+    matching by stem makes a miss local and loud.)
+    """
     videos = sorted(Path(video_dir).glob("*.mp4"))
     if motion_dir is None:
         return [(v, None) for v in videos]
-    motions = sorted(Path(motion_dir).glob("*.npy"))
-    paired = list(zip(videos, motions))
-    if len(paired) < len(videos):
-        paired += [(v, None) for v in videos[len(paired):]]
+    paired: List[Tuple[Path, Optional[Path]]] = []
+    for v in videos:
+        m = Path(motion_dir) / f"{v.stem}.npy"
+        if not m.exists():
+            print(f"{v.name}: no motion features at {m}; "
+                  f"writing without motion_features")
+            paired.append((v, None))
+        else:
+            paired.append((v, m))
     return paired
 
 

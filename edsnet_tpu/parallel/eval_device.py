@@ -112,7 +112,15 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                         r.user_summary[:, :fr_max] > 0.5
                     out["user_valid"][j, :u] = True
                 out["is_avg"][j] = "tvsum" in r.key
-            if chunk[0].motion_features is not None:
+            has_motion = [r.motion_features is not None for r in chunk]
+            if any(has_motion) and not all(has_motion):
+                missing = [r.key for r, h in zip(chunk, has_motion)
+                           if not h]
+                raise ValueError(
+                    f"eval batch mixes videos with and without "
+                    f"motion_features; missing for {missing[:3]} — a "
+                    f"cross-attention model needs motion for every video")
+            if has_motion[0]:
                 m_len = _round_up(max(r.motion_features.shape[0]
                                       for r in chunk), 16)
                 out["motion"] = zeros((m_len,
