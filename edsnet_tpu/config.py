@@ -169,6 +169,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="resume training from the saved train state "
                              "(model + optimizer + epoch) if present")
+    parser.add_argument("--context-parallel", type=int, default=0,
+                        help="shard the attention backbone's sequence "
+                             "axis over N devices via ring attention "
+                             "(ppermute K/V rotation + online-softmax "
+                             "merge) on deterministic passes; 0 = off, "
+                             "-1 = all local devices. Applies to "
+                             "sequences >= --cp-min-len that divide the "
+                             "mesh size")
+    parser.add_argument("--cp-min-len", type=int, default=1024,
+                        help="minimum sequence length for "
+                             "--context-parallel routing")
     parser.add_argument("--use-pallas", action="store_true",
                         help="route the attention backbone's deterministic "
                              "path through the Pallas flash-attention "

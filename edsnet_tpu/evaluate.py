@@ -119,6 +119,10 @@ def main(argv=None):
     if getattr(args, "use_pallas", False):
         from edsnet_tpu.models.base import set_use_pallas
         set_use_pallas(True)
+    if getattr(args, "context_parallel", 0):
+        from edsnet_tpu.models.base import set_context_parallel
+        set_context_parallel(args.context_parallel,
+                             getattr(args, "cp_min_len", 1024))
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)
     logger.info(vars(args))

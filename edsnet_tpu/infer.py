@@ -57,6 +57,13 @@ def main():
     args = config_lib.get_arguments()
     from edsnet_tpu.utils.runtime import setup_runtime
     setup_runtime(args.device, matmul_precision=getattr(args, 'matmul_precision', None))
+    if getattr(args, "use_pallas", False):
+        from edsnet_tpu.models.base import set_use_pallas
+        set_use_pallas(True)
+    if getattr(args, "context_parallel", 0):
+        from edsnet_tpu.models.base import set_context_parallel
+        set_context_parallel(args.context_parallel,
+                             getattr(args, "cp_min_len", 1024))
 
     print("Loading model ...")
     model = get_model(args.model, **vars(args))

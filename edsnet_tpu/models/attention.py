@@ -32,6 +32,21 @@ class AttentionExtractor(nn.Module):
     out_dropout: float = 0.5
     use_pallas: bool = False
     pallas_min_len: int = 1024
+    # >0: shard the sequence axis over that many devices via ring
+    # attention (parallel/ring_attention.py) when N >= cp_min_len and N
+    # divides the mesh; -1 = all local devices (--context-parallel)
+    context_parallel: int = 0
+    cp_min_len: int = 1024
+
+    def _use_ring(self, n: int, deterministic: bool) -> bool:
+        if not self.context_parallel or not deterministic:
+            return False
+        if n < self.cp_min_len:
+            return False
+        import jax
+        p = self.context_parallel if self.context_parallel > 0 \
+            else len(jax.devices())
+        return n % p == 0
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -48,7 +63,13 @@ class AttentionExtractor(nn.Module):
         k = proj("K").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
         v = proj("V").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
 
-        if self.use_pallas and deterministic and n >= self.pallas_min_len:
+        if self._use_ring(n, deterministic):
+            from edsnet_tpu.parallel import make_mesh
+            from edsnet_tpu.parallel.ring_attention import ring_attention
+            mesh = make_mesh(max(self.context_parallel, 0))
+            # ring_attention applies the d_k**-0.5 scale itself
+            y = ring_attention(q, k, v, mask, mesh=mesh).astype(x.dtype)
+        elif self.use_pallas and deterministic and n >= self.pallas_min_len:
             from edsnet_tpu.kernels.flash_attention import flash_attention
             y = flash_attention(q, k, v, mask)
         else:

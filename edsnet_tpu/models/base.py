@@ -22,6 +22,8 @@ BASE_MODELS = ("linear", "lstm", "bilstm", "gcn", "attention",
                "nystromformer", "fourier", "linformer", "performer", "dwt")
 
 _USE_PALLAS = False
+_CONTEXT_PARALLEL = 0
+_CP_MIN_LEN = 1024
 
 
 def set_use_pallas(enabled: bool) -> None:
@@ -29,6 +31,16 @@ def set_use_pallas(enabled: bool) -> None:
     Pallas flash-attention kernel (--use-pallas)."""
     global _USE_PALLAS
     _USE_PALLAS = bool(enabled)
+
+
+def set_context_parallel(num_devices: int, min_len: int = 1024) -> None:
+    """Shard the attention backbone's sequence axis over the device mesh
+    via ring attention (--context-parallel): 0 = off, -1 = all local
+    devices, >0 = that many.  Applies to deterministic (predict/eval)
+    passes on sequences >= ``min_len`` that divide the mesh size."""
+    global _CONTEXT_PARALLEL, _CP_MIN_LEN
+    _CONTEXT_PARALLEL = int(num_devices)
+    _CP_MIN_LEN = int(min_len)
 
 
 class LinearExtractor(nn.Module):
@@ -54,7 +66,9 @@ def build_base_model(base_type: str, num_feature: int, num_head: int,
         return GCNExtractor(num_feature, name=name)
     if base_type == "attention":
         return AttentionExtractor(num_head, num_feature,
-                                  use_pallas=_USE_PALLAS, name=name)
+                                  use_pallas=_USE_PALLAS,
+                                  context_parallel=_CONTEXT_PARALLEL,
+                                  cp_min_len=_CP_MIN_LEN, name=name)
     if base_type == "nystromformer":
         # factory config at models.py:135
         return NystromAttention(dim=num_feature, dim_head=64, heads=num_head,
