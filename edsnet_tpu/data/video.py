@@ -62,6 +62,40 @@ class _TorchvisionExtractor:
         return feat / (np.linalg.norm(feat) + 1e-10)
 
 
+class _FlaxGoogLeNetExtractor:
+    """Device-side GoogLeNet-pool5 (models/googlenet.py): PIL
+    preprocessing on the host, the CNN as one jitted program on the
+    accelerator.  Needs torch only to read the cached torchvision
+    checkpoint (weights_only=True — data, not pickled code); torchvision
+    itself is NOT required."""
+
+    def __init__(self):
+        import torch
+
+        from edsnet_tpu.fetch_weights import cached_path
+        from edsnet_tpu.models.googlenet import (GoogLeNetPool5,
+                                                 convert_torch_state_dict,
+                                                 preprocess_frame)
+
+        path = cached_path("google-net")
+        if not path.exists():
+            raise FileNotFoundError(
+                f"no cached GoogLeNet weights at {path}; run "
+                f"`python -m edsnet_tpu.fetch_weights` first")
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        import jax
+
+        self._variables = convert_torch_state_dict(sd)
+        model = GoogLeNetPool5()
+        self._apply = jax.jit(model.apply)
+        self._preprocess = preprocess_frame
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        feat = np.asarray(
+            self._apply(self._variables, self._preprocess(img)[None]))[0]
+        return feat / (np.linalg.norm(feat) + 1e-10)
+
+
 class _RandomProjectionExtractor:
     """Deterministic test extractor: 1024-d projection of 32x32 grayscale."""
 
@@ -85,14 +119,23 @@ class FeatureExtractor:
         if feature_extractor == "random":
             self._impl = _RandomProjectionExtractor()
             return
+        if feature_extractor == "google-net":
+            # prefer the device-side flax network when the checkpoint is
+            # cached (no torchvision needed); fall back to torchvision
+            try:
+                self._impl = _FlaxGoogLeNetExtractor()
+                return
+            except FileNotFoundError:
+                pass
         try:
             self._impl = _TorchvisionExtractor(feature_extractor)
         except ImportError as e:
             raise RuntimeError(
                 "torchvision is required for pretrained frame-feature "
                 "extraction but is not installed in this environment. "
-                "Either install torchvision, use pre-extracted features "
-                "(the eccv16 h5 datasets), or pass "
+                "Either run `python -m edsnet_tpu.fetch_weights` to cache "
+                "GoogLeNet weights for the device-side extractor, use "
+                "pre-extracted features (the eccv16 h5 datasets), or pass "
                 "feature_extractor='random' for plumbing tests.") from e
 
     def run(self, img: np.ndarray) -> np.ndarray:
