@@ -36,7 +36,16 @@ def jnp_int32(v):
     return jnp.asarray(v, jnp.int32)
 
 
-def bench_ours() -> float:
+def _flagship_model():
+    from edsnet_tpu.models.model_zoo import get_model
+    return get_model(
+        "anchor-based", model_depth="shallow", base_model="nystromformer",
+        num_feature=FEAT, num_hidden=128, anchor_scales=(12,), num_head=8,
+        fc_depth=7, attention_depth=2, encoder_type="classic",
+        orientation="paper", pooling_type="roi")
+
+
+def bench_ours(return_flops: bool = False):
     """Slope-based timing: K predict steps inside one jitted fori_loop,
     throughput from (t(K2) - t(K1)) / (K2 - K1).
 
@@ -48,13 +57,7 @@ def bench_ours() -> float:
     import jax
     import jax.numpy as jnp
 
-    from edsnet_tpu.models.model_zoo import get_model
-
-    model = get_model(
-        "anchor-based", model_depth="shallow", base_model="nystromformer",
-        num_feature=FEAT, num_hidden=128, anchor_scales=(12,), num_head=8,
-        fc_depth=7, attention_depth=2, encoder_type="classic",
-        orientation="paper", pooling_type="roi")
+    model = _flagship_model()
 
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(BATCH, SEQ_LEN, FEAT).astype(np.float32))
@@ -87,7 +90,151 @@ def bench_ours() -> float:
         t2 = _timed_chain(k2, run_k, x0)
         slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
     step_time = float(np.median(slopes))
-    return BATCH * SEQ_LEN / step_time
+    throughput = BATCH * SEQ_LEN / step_time
+    if not return_flops:
+        return throughput
+
+    # model FLOPs of ONE predict step from the compiled module's own cost
+    # analysis (single-step program: the fori chain would multiply by k)
+    predict = jax.jit(
+        lambda v, x: model.apply(v, x, mask, method="predict"))
+    flops = None
+    try:
+        cost = predict.lower(variables, x0).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return throughput, step_time, flops
+
+
+def bench_train_step() -> float:
+    """Full jitted AB train step (on-device sampling, forward, masked
+    losses, grads, Adam) — seconds per step, slope-timed."""
+    import jax
+    import jax.numpy as jnp
+
+    from edsnet_tpu.ops import losses as L
+    from edsnet_tpu.parallel.steps import (build_ab_cls_labels,
+                                           make_optimizer)
+
+    b, n, f = BATCH, SEQ_LEN, FEAT
+    s = 1
+    model = _flagship_model()
+    rng = np.random.RandomState(0)
+    batch = {
+        "seq": jnp.asarray(rng.randn(b, n, f).astype(np.float32)),
+        "mask": jnp.ones((b, n), bool),
+        "video_valid": jnp.ones((b,), bool),
+        "cls_pos": jnp.asarray((rng.rand(b, n, s) > 0.95).astype(np.int32)),
+        "loc_label": jnp.asarray(
+            rng.randn(b, n, s, 2).astype(np.float32) * 0.1),
+        "neg_eligible": jnp.asarray(rng.rand(b, n, s) > 0.5),
+        "inc_eligible": jnp.asarray(rng.rand(b, n, s) > 0.8),
+        "num_pos": jnp.full((b,), 20, jnp.int32),
+    }
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch["seq"], batch["mask"])
+    tx = make_optimizer(5e-5, 1e-5)
+    params0, opt0 = variables["params"], None
+    opt0 = tx.init(params0)
+
+    def one_step(carry, key):
+        params, opt = carry
+        drop_rng, label_rng = jax.random.split(key)
+        cls_label = build_ab_cls_labels(batch, label_rng, 2.0, 1.0)
+
+        def loss_fn(p):
+            pred_cls, pred_loc = model.apply(
+                {"params": p}, batch["seq"], batch["mask"],
+                deterministic=False, rngs={"dropout": drop_rng})
+            loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"],
+                                          cls_label)
+            cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
+            return jnp.mean(cls + loc)
+
+        _, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return jax.tree.map(lambda p, u: p + u, params, updates), opt
+
+    @jax.jit
+    def run_k(k):
+        def body(i, carry):
+            return one_step(carry, jax.random.fold_in(jax.random.PRNGKey(3),
+                                                      i))
+        params, _ = jax.lax.fori_loop(0, k, body, (params0, opt0))
+        return jax.tree.leaves(params)[0].sum()
+
+    float(run_k(jnp_int32(1)))
+    k1, k2 = 3, 33
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(run_k(jnp_int32(k1)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_k(jnp_int32(k2)))
+        t2 = time.perf_counter() - t0
+        slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    return float(np.median(slopes))
+
+
+def bench_eval_program() -> tuple:
+    """Full on-device eval program (predict + NMS + keyshot knapsack +
+    F-score) — (seconds per batch, frames per batch), dispatch-chained."""
+    import jax
+
+    from edsnet_tpu.data.dataset import VideoRecord
+    from edsnet_tpu.parallel.eval_device import (eval_fscore_device,
+                                                 prepare_eval_batches)
+
+    model = _flagship_model()
+    rng = np.random.RandomState(0)
+    records = []
+    for i in range(BATCH):
+        n_seq = SEQ_LEN - 16 * (i % 3)
+        n_frames = n_seq * 15
+        seq = rng.randn(n_seq, FEAT).astype(np.float32)
+        bounds = np.linspace(0, n_frames, 21, dtype=np.int32)
+        records.append(VideoRecord(
+            key=f"tvsum/v{i}", seq=seq,
+            gtscore=rng.rand(n_seq).astype(np.float32),
+            cps=np.stack([bounds[:-1], bounds[1:] - 1], 1),
+            n_frames=n_frames, nfps=bounds[1:] - bounds[:-1],
+            picks=np.arange(n_seq, dtype=np.int32) * 15,
+            user_summary=(rng.rand(3, n_frames) > 0.8).astype(np.float32)))
+
+    import jax.numpy as jnp
+    mask = jnp.ones((1, SEQ_LEN), bool)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(
+        rngs, jnp.zeros((1, SEQ_LEN, FEAT), jnp.float32), mask)
+    prepared = prepare_eval_batches(records, BATCH, 64)
+    frames = sum(r.seq.shape[0] for r in records)
+
+    def run_k(k):
+        out = None
+        for _ in range(k):
+            out = eval_fscore_device(model, variables, prepared, 0.5)
+        return float(out)   # device executes in order; last fences all
+
+    run_k(1)
+    k1, k2 = 2, 12
+    slopes = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_k(k1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_k(k2)
+        t2 = time.perf_counter() - t0
+        slopes.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    per_pass = float(np.median(slopes))
+    n_batches = len(prepared)
+    return per_pass / max(n_batches, 1), frames / per_pass
 
 
 def bench_torch_baseline(budget_s: float = 60.0) -> float:
@@ -161,8 +308,54 @@ def bench_torch_baseline(budget_s: float = 60.0) -> float:
     return (n_iter * SEQ_LEN) / dt
 
 
+V5E_BF16_PEAK = 197e12   # TPU v5e peak bf16 FLOP/s (public spec)
+
+
 def main():
-    ours = bench_ours()
+    import jax
+
+    from edsnet_tpu.utils.runtime import setup_runtime
+    setup_runtime()   # persistent XLA compile cache across bench runs
+
+    ours, predict_s, flops = bench_ours(return_flops=True)
+    extras = {}
+    try:
+        train_s = bench_train_step()
+        extras["train"] = {"ms_per_step": round(train_s * 1e3, 3),
+                           "frames_per_sec": round(BATCH * SEQ_LEN
+                                                   / train_s)}
+    except Exception as e:
+        extras["train"] = {"error": str(e)[:120]}
+    try:
+        eval_s, eval_fps = bench_eval_program()
+        # dispatch-chained (host dispatches each batch program), so this
+        # INCLUDES per-batch tunnel dispatch cost, unlike the fori-chained
+        # predict/train numbers; the async trainer amortizes it
+        extras["eval"] = {"ms_per_batch_incl_dispatch":
+                          round(eval_s * 1e3, 3),
+                          "frames_per_sec": round(eval_fps)}
+    except Exception as e:
+        extras["eval"] = {"error": str(e)[:120]}
+    if flops:
+        # MFU against the v5e bf16 peak: the default matmul precision on
+        # TPU runs bf16 MXU passes for f32 inputs
+        extras["mfu"] = {
+            "predict_flops_per_step": round(flops),
+            "pct_of_bf16_peak": round(
+                100.0 * flops / predict_s / V5E_BF16_PEAK, 2),
+        }
+    # precision study: force full-f32 accumulation and re-measure predict
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+        extras["precision"] = {
+            "highest_frames_per_sec": round(bench_ours(), 2)}
+    except Exception as e:
+        extras["precision"] = {"error": str(e)[:120]}
+    finally:
+        try:
+            jax.config.update("jax_default_matmul_precision", None)
+        except Exception:
+            pass
     try:
         base = bench_torch_baseline()
         vs = ours / base
@@ -174,6 +367,7 @@ def main():
         "value": round(ours, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2),
+        **extras,
     }))
 
 

@@ -12,9 +12,12 @@ key positions where mask is False are excluded from the softmax
 serves the deterministic eval/predict path; training at EDSNet's N≈512
 keeps the XLA path, whose score matrix is tiny).
 
-The backward pass recomputes attention with plain XLA einsums via
-custom_vjp — gradients flow if someone differentiates the deterministic
-path, at XLA speed.
+Backward (round 3): full Pallas kernels with the standard recomputation
+scheme — the forward additionally emits the per-row logsumexp, and the
+backward recomputes P = exp(S - LSE) blockwise to accumulate dq (k-minor
+grid) and dk/dv (q-minor grid).  HBM traffic stays O(N*D) end to end, so
+long-N *training* gets the memory benefit too; the plain-XLA twin remains
+as the numerical oracle in tests.
 """
 from __future__ import annotations
 
@@ -28,8 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref,
-                  l_ref, *, scale: float):
+def _interpret() -> bool:
+    # compiled on TPU; interpreter elsewhere (CPU test runs)
+    return jax.default_backend() != "tpu"
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, acc_ref,
+                  m_ref, l_ref, *, scale: float):
     """One (batch*head, q-block, k-block) grid step.
 
     The k axis is the minor grid dimension: TPU grid steps run
@@ -69,18 +77,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, acc_ref, m_ref,
 
     @pl.when(kk == nk - 1)
     def _():
-        o_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        l_fin = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = acc_ref[:] / l_fin
+        lse_ref[0] = m_ref[:, :1] + jnp.log(l_fin)         # [BQ, 1]
 
 
 def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
+    """Returns (out [BH, N, D], lse [BH, N, 1] — column layout so its
+    (1, BQ, 1) blocks satisfy the TPU tiling rules and land in kernels as
+    the [BQ, 1] column the softmax subtraction needs, transpose-free)."""
     bh, n, d = q.shape
     scale = d ** -0.5
     grid = (bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k))
-    # compiled on TPU; interpreter elsewhere (CPU test runs)
-    interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         partial(_flash_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, n, 1), jnp.float32)],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -92,8 +104,12 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),    # acc
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
@@ -102,12 +118,151 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
         cost_estimate=pl.CostEstimate(
             flops=4 * n * n * d, transcendentals=n * n,
             bytes_accessed=4 * (3 * n * d + n)),
-        interpret=interpret,
+        interpret=_interpret(),
     )(q, k, v, mask)
 
 
+def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
+               dq_ref, acc_ref, *, scale: float):
+    """dq accumulation: grid (bh, q-block, k-block), k minor.
+
+    ds = P * (dP - D) with P = exp(S - LSE), dP = g V^T,
+    D = rowsum(g * o); dq_i = scale * sum_j ds_ij K_j.
+    """
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0] * scale                                   # [BQ, D]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    km = mask_ref[0, 0]
+    g = g_ref[0]                                           # [BQ, D]
+    lse = lse_ref[0]                                       # [BQ, 1]
+    dd = dd_ref[0]                                         # [BQ, 1]
+
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = jnp.where(km[None, :] > 0, s, NEG)
+    p = jnp.exp(s - lse)                                   # [BQ, BK]
+    dp = jax.lax.dot_general(
+        g, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BQ, BK]
+    ds = p * (dp - dd)
+    acc_ref[:] += jax.lax.dot_general(
+        ds, k_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == nk - 1)
+    def _():
+        dq_ref[0] = acc_ref[:] * scale
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    """dk/dv accumulation: grid (bh, k-block, q-block), q minor."""
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0] * scale
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    km = mask_ref[0, 0]
+    g = g_ref[0]
+    lse = lse_ref[0]                                       # [BQ, 1]
+    dd = dd_ref[0]                                         # [BQ, 1]
+
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BQ, BK]
+    s = jnp.where(km[None, :] > 0, s, NEG)
+    p = jnp.exp(s - lse)
+    # dv_j += P^T g
+    dv_acc[:] += jax.lax.dot_general(
+        p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BK, D]
+    dp = jax.lax.dot_general(
+        g, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - dd)                                     # [BQ, BK]
+    # dk_j += scale * dS^T q_raw; q here is pre-scaled, so scale folds in
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BK, D]
+
+    @pl.when(qq == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:]
+        dv_ref[0] = dv_acc[:]
+
+
+def _flash_backward(q, k, v, mask, o, lse, g, block_q: int, block_k: int):
+    bh, n, d = q.shape
+    scale = d ** -0.5
+    g = g.astype(jnp.float32)
+    dd = jnp.sum(g * o, axis=-1, keepdims=True)            # [BH, N, 1]
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        partial(_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+        grid=(bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k)),
+        in_specs=[q_spec, k_spec, k_spec, mask_spec, q_spec, row_spec,
+                  row_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * n * d, transcendentals=n * n,
+            bytes_accessed=4 * (5 * n * d + 3 * n)),
+        interpret=_interpret(),
+    )(q, k, v, mask, g, lse, dd)
+
+    # q-minor grid: index maps swap (i, j) meaning — dim 1 is the K block
+    kq_q_spec = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    kq_k_spec = pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0),
+                             memory_space=pltpu.VMEM)
+    kq_mask_spec = pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j),
+                                memory_space=pltpu.VMEM)
+    kq_row_spec = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        partial(_dkv_kernel, scale=scale),
+        out_shape=[jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, n, d), jnp.float32)],
+        grid=(bh, pl.cdiv(n, block_k), pl.cdiv(n, block_q)),
+        in_specs=[kq_q_spec, kq_k_spec, kq_k_spec, kq_mask_spec, kq_q_spec,
+                  kq_row_spec, kq_row_spec],
+        out_specs=[kq_k_spec, kq_k_spec],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * n * d, transcendentals=n * n,
+            bytes_accessed=4 * (7 * n * d + 3 * n)),
+        interpret=_interpret(),
+    )(q, k, v, mask, g, lse, dd)
+    return dq, dk, dv
+
+
 def _attention_xla(q, k, v, mask):
-    """Plain-XLA twin (backward recompute + numerical oracle)."""
+    """Plain-XLA twin (numerical oracle in tests)."""
     d = q.shape[-1]
     s = jnp.einsum("bnd,bmd->bnm", q, k) / jnp.sqrt(jnp.asarray(d, q.dtype))
     s = jnp.where(mask[:, None, :] > 0, s, NEG)
@@ -117,19 +272,19 @@ def _attention_xla(q, k, v, mask):
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, mask, block_q, block_k):
-    return _flash_forward(q, k, v, mask, block_q, block_k)
+    out, _ = _flash_forward(q, k, v, mask, block_q, block_k)
+    return out
 
 
 def _flash_fwd(q, k, v, mask, block_q, block_k):
-    return _flash_forward(q, k, v, mask, block_q, block_k), (q, k, v, mask)
+    out, lse = _flash_forward(q, k, v, mask, block_q, block_k)
+    return out, (q, k, v, mask, out, lse)
 
 
 def _flash_bwd(block_q, block_k, res, g):
-    q, k, v, mask = res
-    mask2d = mask[:, 0, :]
-    _, vjp = jax.vjp(lambda q_, k_, v_: _attention_xla(q_, k_, v_, mask2d),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, mask, o, lse = res
+    dq, dk, dv = _flash_backward(q, k, v, mask, o, lse, g,
+                                 block_q, block_k)
     return dq, dk, dv, None
 
 
@@ -138,7 +293,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, mask=None, block_q: int = 512,
                     block_k: int = 512):
-    """Masked multi-head attention, O(N*D) HBM traffic.
+    """Masked multi-head attention, O(N*D) HBM traffic (fwd AND bwd).
 
     q/k/v: [B, H, N, D] float32; mask: [B, N] bool or None.
     Returns [B, H, N, D].

