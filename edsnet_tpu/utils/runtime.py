@@ -58,6 +58,14 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
     cache = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         str(Path.home() / ".cache" / "edsnet_tpu_xla"))
+    # segregate by backend: the tunneled TPU platform writes XLA:CPU AOT
+    # helper executables compiled for a DIFFERENT machine into the cache;
+    # a later pure-CPU process loading them SIGILLs (observed: full test
+    # suite segfault after TPU benchmarks shared the cache dir)
+    try:
+        cache = str(Path(cache) / jax.default_backend())
+    except Exception:
+        pass
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
