@@ -52,8 +52,20 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
                 f"jax.distributed.initialize failed: {e}; continuing "
                 f"single-process")
 
+    def _set(name: str, value) -> None:
+        # only update on a real change: every jax.config.update invalidates
+        # the in-process jit caches, forcing re-lowering and repeated
+        # persistent-cache deserializations — and XLA:CPU's AOT
+        # deserialization segfaults after enough repeats (jax 0.9.0;
+        # observed as a deterministic full-test-suite crash)
+        try:
+            if getattr(jax.config, name) != value:
+                jax.config.update(name, value)
+        except Exception:
+            pass  # older jax without the option
+
     if matmul_precision:
-        jax.config.update("jax_default_matmul_precision", matmul_precision)
+        _set("jax_default_matmul_precision", matmul_precision)
 
     cache = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
@@ -67,9 +79,7 @@ def setup_runtime(device: str = "auto", cache_dir: str | None = None,
     except Exception:
         pass
     Path(cache).mkdir(parents=True, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # older jax without these flags
+    # keep jax's DEFAULT persistent-cache thresholds: caching every tiny
+    # executable multiplied deserializations and triggered the XLA:CPU
+    # AOT segfault above
+    _set("jax_compilation_cache_dir", cache)

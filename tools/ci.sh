@@ -11,8 +11,16 @@ cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS=cpu
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.cache/jax_test}"
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0
-export JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES=-1
+# keep jax's DEFAULT cache thresholds: caching every tiny executable
+# (min_compile_time 0) triggers an XLA:CPU AOT deserialization segfault
+# after hundreds of entries (see tests/conftest.py)
+
+# every live XLA:CPU executable holds memory mappings; the full suite can
+# cross the kernel's default vm.max_map_count=65530, which XLA surfaces
+# as a segfault. Raise it when permitted (conftest also guards in-process).
+if [[ "$(cat /proc/sys/vm/max_map_count 2>/dev/null || echo 0)" -lt 262144 ]]; then
+    sysctl -w vm.max_map_count=1048576 2>/dev/null || true
+fi
 
 PYTEST_ARGS=(tests/ -q)
 if [[ "${1:-}" == "--fast" ]]; then
