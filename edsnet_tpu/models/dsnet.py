@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edsnet_tpu.models.base import build_base_model
-from edsnet_tpu.models.common import FcBlock, apply_mask, dense, layer_norm
+from edsnet_tpu.models.common import (BIAS01, XAVIER2, FcBlock, apply_mask,
+                                      dense, layer_norm)
 from edsnet_tpu.models.encoder import ClassicEncoder, LocalGlobalEncoder
 from edsnet_tpu.models.poolings import Pooling, roi_multi_scale
 from edsnet_tpu.ops import anchors as anchor_ops
@@ -58,20 +59,68 @@ class _FcTrunk(nn.Module):
         return x
 
 
-class _AnchorHeads(nn.Module):
-    """fc_cls (sigmoid) + fc_loc applied to pooled features."""
-    num_scales: int
+class _SplitDense(nn.Module):
+    """nn.Dense twin (same param pytree) that can defer the bias add.
+
+    Exists for the fused-ROI head path: the stride-1 ROI average pool is
+    linear (poolings.py:roi_avg_pool — zero padded, divisor=scale), so
+    ``pool(x) @ W + b == pool(x @ W) + b``.  Applying the [H,1]/[H,2]
+    head projections BEFORE pooling shrinks the pooled tensor from
+    [B,N,S,H] to [B,N,S,3] — ~H/3 less pooling traffic and no [B,N,S,H]
+    materialization in either direction of the train step.  The bias must
+    ride outside the pool (the pool's zero padding would average it).
+    """
+    features: int
 
     @nn.compact
+    def __call__(self, x, with_bias: bool = True):
+        kernel = self.param("kernel", XAVIER2, (x.shape[-1], self.features))
+        bias = self.param("bias", BIAS01, (self.features,))
+        y = x @ kernel
+        return y + bias if with_bias else (y, bias)
+
+
+class _AnchorHeads(nn.Module):
+    """fc_cls (sigmoid) + fc_loc applied to pooled features.
+
+    ``__call__(pooled_cls, pooled_loc)`` is the literal reference
+    formulation (dsnet.py:114-115).  ``fused_roi(out, scales)`` commutes
+    the linear projections with the linear ROI pooling (see _SplitDense)
+    — bit-identical params, numerically equal outputs (fp rounding order
+    aside; pinned by tests/models/test_fused_roi_head.py).
+    """
+    num_scales: int
+
+    def setup(self):
+        self.fc_cls = _SplitDense(1)
+        self.fc_loc = _SplitDense(2)
+
     def __call__(self, pooled_cls, pooled_loc):
         # pooled_*: [B, N, S, H] or [B, N, H] (S=1 squeezed)
         def ensure_scales(t):
             return t[:, :, None, :] if t.ndim == 3 else t
 
-        pc = ensure_scales(pooled_cls)
-        pl = ensure_scales(pooled_loc)
-        pred_cls = nn.sigmoid(dense(1, name="fc_cls")(pc)[..., 0])
-        pred_loc = dense(2, name="fc_loc")(pl)
+        pred_cls = nn.sigmoid(self.fc_cls(ensure_scales(pooled_cls))[..., 0])
+        pred_loc = self.fc_loc(ensure_scales(pooled_loc))
+        return pred_cls, pred_loc
+
+    def fused_roi(self, out, scales, fine_loc=None):
+        """ROI heads with projections hoisted before the pooling.
+
+        ``fine_loc`` (flat-pooling): the loc branch instead applies
+        fc_loc directly to an already-pooled [B, N, H'] tensor.
+        """
+        zc, bc = self.fc_cls(out, with_bias=False)
+        if fine_loc is None:
+            zl, bl = self.fc_loc(out, with_bias=False)
+            pooled = roi_multi_scale(
+                jnp.concatenate([zc, zl], axis=-1), scales)  # [B,N,S,3]
+            pred_cls = nn.sigmoid(pooled[..., 0] + bc[0])
+            pred_loc = pooled[..., 1:] + bl
+        else:
+            pred_cls = nn.sigmoid(
+                roi_multi_scale(zc, scales)[..., 0] + bc[0])
+            pred_loc = self.fc_loc(fine_loc[:, :, None, :])
         return pred_cls, pred_loc
 
 
@@ -86,6 +135,7 @@ class DSNet(nn.Module):
     orientation: str = "paper"
     pooling_type: str = "roi"
     tie_fc_blocks: bool = True
+    fused_roi_head: bool = True
 
     def _scales(self):
         return anchor_ops.anchor_scales_list(self.anchor_scales)
@@ -110,6 +160,8 @@ class DSNet(nn.Module):
 
         heads = _AnchorHeads(len(scales), name="heads")
         if self.pooling_type == "roi":
+            if self.fused_roi_head:
+                return heads.fused_roi(out, scales)
             pooled = roi_multi_scale(out, scales)          # [B,N,S,H]
             return heads(pooled, pooled)
         if self.pooling_type in ("fft", "dwt"):
@@ -119,6 +171,8 @@ class DSNet(nn.Module):
         if self.pooling_type == "flat-pooling":
             fine, = Pooling(scales, self.pooling_type, self.num_hidden,
                             name="pooling")(out)
+            if self.fused_roi_head:
+                return heads.fused_roi(out, scales, fine_loc=fine)
             coarse = roi_multi_scale(out, scales)
             return heads(coarse, fine)
         raise ValueError(f"Invalid pooling type {self.pooling_type}")
@@ -180,6 +234,7 @@ class DSNetDeepAttention(nn.Module):
     attention_depth: int
     orientation: str = "paper"
     tie_fc_blocks: bool = True
+    fused_roi_head: bool = True
 
     def _scales(self):
         return anchor_ops.anchor_scales_list(self.anchor_scales)
@@ -203,8 +258,11 @@ class DSNetDeepAttention(nn.Module):
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
+        heads = _AnchorHeads(len(scales), name="heads")
+        if self.fused_roi_head:
+            return heads.fused_roi(out, scales)
         pooled = roi_multi_scale(out, scales)
-        return _AnchorHeads(len(scales), name="heads")(pooled, pooled)
+        return heads(pooled, pooled)
 
     def predict(self, x, mask=None):
         pred_cls, pred_loc = self(x, mask, deterministic=True)
@@ -221,6 +279,7 @@ class DSNetMultiAttention(nn.Module):
     fc_depth: int
     orientation: str = "paper"
     tie_fc_blocks: bool = True
+    fused_roi_head: bool = True
 
     def _scales(self):
         return anchor_ops.anchor_scales_list(self.anchor_scales)
@@ -237,8 +296,11 @@ class DSNetMultiAttention(nn.Module):
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
+        heads = _AnchorHeads(len(scales), name="heads")
+        if self.fused_roi_head:
+            return heads.fused_roi(out, scales)
         pooled = roi_multi_scale(out, scales)
-        return _AnchorHeads(len(scales), name="heads")(pooled, pooled)
+        return heads(pooled, pooled)
 
     def predict(self, x, mask=None):
         pred_cls, pred_loc = self(x, mask, deterministic=True)
@@ -286,6 +348,7 @@ class DSNetMotionFeatures(nn.Module):
     attention_depth: int
     encoder_type: str = "classic"
     orientation: str = "paper"
+    fused_roi_head: bool = True
 
     def _scales(self):
         return anchor_ops.anchor_scales_list(self.anchor_scales)
@@ -321,9 +384,19 @@ class DSNetMotionFeatures(nn.Module):
         h = nn.Dropout(0.5)(h, deterministic=deterministic)
         h = layer_norm(name="fcb_norm")(h)
         h = apply_mask(h, mask)
-        pooled = roi_multi_scale(h, scales)
-        pred_cls = nn.sigmoid(dense(1, name="fc_cls")(pooled)[..., 0])
-        pred_loc = dense(2, name="fc_loc")(pooled)
+        cls_head = _SplitDense(1, name="fc_cls")
+        loc_head = _SplitDense(2, name="fc_loc")
+        if self.fused_roi_head:
+            zc, bc = cls_head(h, with_bias=False)
+            zl, bl = loc_head(h, with_bias=False)
+            pooled = roi_multi_scale(
+                jnp.concatenate([zc, zl], axis=-1), scales)
+            pred_cls = nn.sigmoid(pooled[..., 0] + bc[0])
+            pred_loc = pooled[..., 1:] + bl
+        else:
+            pooled = roi_multi_scale(h, scales)
+            pred_cls = nn.sigmoid(cls_head(pooled)[..., 0])
+            pred_loc = loc_head(pooled)
         return pred_cls, pred_loc
 
     def predict(self, x, motion_features, mask=None, motion_mask=None):
