@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edsnet_tpu.models.common import XAVIER2, BIAS01
+from edsnet_tpu.ops.depthwise_conv import depthwise_time_conv
 
 NEG = -1e30
 
@@ -177,21 +178,16 @@ class NystromAttention(nn.Module):
                                self.eps)
 
         if self.residual:
-            # depthwise conv over time per head (nystroformer.py:65,137-138)
-            # as K shifted multiply-adds: 15x faster than XLA's grouped-conv
-            # lowering at these shapes on TPU v5e (1.14 -> 0.076 ms at
-            # B=8,N=512) and exact f32 on the VPU (the conv path accumulates
-            # in reduced precision). Param shape kept conv-compatible.
+            # depthwise conv over time per head (nystroformer.py:65,137-138).
+            # Round-2 used K shifted multiply-adds (15x over the NCHW
+            # grouped-conv lowering) but its autodiff backward dominated the
+            # train step (~1.1 of 1.8 ms); ops/depthwise_conv.py keeps the
+            # fast forward (NHC depthwise conv, 0.011 ms) and hand-writes
+            # the exact backward (fwd+bwd 1.53 -> 0.36 ms on v5e).
+            # Param shape kept conv-compatible.
             ksize = self.residual_conv_kernel
             kernel = self.param("res_conv", XAVIER2, (h, 1, ksize, 1))
-            w = kernel[:, 0, :, 0]                       # [H, K]
-            vp = jnp.pad(v, ((0, 0), (0, 0),
-                             (ksize // 2, ksize // 2), (0, 0)))
-            res = sum(
-                w[None, :, j, None, None]
-                * jax.lax.dynamic_slice_in_dim(vp, j, n_p, axis=2)
-                for j in range(ksize))
-            out = out + res
+            out = out + depthwise_time_conv(v, kernel[:, 0, :, 0])
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n_p, inner)
         out = nn.Dense(self.dim, kernel_init=XAVIER2, bias_init=BIAS01,
