@@ -125,7 +125,9 @@ class FeatureExtractor:
             try:
                 self._impl = _FlaxGoogLeNetExtractor()
                 return
-            except FileNotFoundError:
+            except (FileNotFoundError, ImportError):
+                # no cached checkpoint, or no torch to read the .pth —
+                # fall through to torchvision / the curated RuntimeError
                 pass
         try:
             self._impl = _TorchvisionExtractor(feature_extractor)

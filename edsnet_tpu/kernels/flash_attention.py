@@ -13,11 +13,18 @@ serves the deterministic eval/predict path; training at EDSNet's N≈512
 keeps the XLA path, whose score matrix is tiny).
 
 Backward (round 3): full Pallas kernels with the standard recomputation
-scheme — the forward additionally emits the per-row logsumexp, and the
-backward recomputes P = exp(S - LSE) blockwise to accumulate dq (k-minor
-grid) and dk/dv (q-minor grid).  HBM traffic stays O(N*D) end to end, so
+scheme — the forward additionally emits the per-row softmax statistics,
+and the backward recomputes P blockwise to accumulate dq (k-minor grid)
+and dk/dv (q-minor grid).  HBM traffic stays O(N*D) end to end, so
 long-N *training* gets the memory benefit too; the plain-XLA twin remains
 as the numerical oracle in tests.
+
+The row statistics are stored as the (max m, denominator l) PAIR rather
+than the collapsed logsumexp m + log(l): for a fully-masked row m is
+-1e30 and adding log(N) is lost to f32 rounding (ulp(1e30) ~ 1e23), which
+would make the backward weight every key with p = exp(0) = 1 instead of
+the oracle softmax's uniform 1/N.  p = exp(s - m) / l is algebraically
+identical elsewhere and exact in that edge case.
 """
 from __future__ import annotations
 
@@ -36,8 +43,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, acc_ref,
-                  m_ref, l_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
+                  acc_ref, m_ref, l_ref, *, scale: float):
     """One (batch*head, q-block, k-block) grid step.
 
     The k axis is the minor grid dimension: TPU grid steps run
@@ -79,19 +86,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, acc_ref,
     def _():
         l_fin = jnp.maximum(l_ref[:, :1], 1e-30)
         o_ref[0] = acc_ref[:] / l_fin
-        lse_ref[0] = m_ref[:, :1] + jnp.log(l_fin)         # [BQ, 1]
+        mrow_ref[0] = m_ref[:, :1]                         # [BQ, 1]
+        lrow_ref[0] = l_fin
 
 
 def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
-    """Returns (out [BH, N, D], lse [BH, N, 1] — column layout so its
-    (1, BQ, 1) blocks satisfy the TPU tiling rules and land in kernels as
-    the [BQ, 1] column the softmax subtraction needs, transpose-free)."""
+    """Returns (out [BH, N, D], mrow, lrow [BH, N, 1] — column layout so
+    their (1, BQ, 1) blocks satisfy the TPU tiling rules and land in
+    kernels as the [BQ, 1] columns the softmax math needs,
+    transpose-free)."""
     bh, n, d = q.shape
     scale = d ** -0.5
     grid = (bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k))
     return pl.pallas_call(
         partial(_flash_kernel, scale=scale),
         out_shape=[jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
                    jax.ShapeDtypeStruct((bh, n, 1), jnp.float32)],
         grid=grid,
         in_specs=[
@@ -109,6 +119,8 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),    # acc
@@ -122,11 +134,11 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
     )(q, k, v, mask)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
-               dq_ref, acc_ref, *, scale: float):
+def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
+               dd_ref, dq_ref, acc_ref, *, scale: float):
     """dq accumulation: grid (bh, q-block, k-block), k minor.
 
-    ds = P * (dP - D) with P = exp(S - LSE), dP = g V^T,
+    ds = P * (dP - D) with P = exp(S - m) / l, dP = g V^T,
     D = rowsum(g * o); dq_i = scale * sum_j ds_ij K_j.
     """
     kk = pl.program_id(2)
@@ -141,18 +153,21 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
     v_blk = v_ref[0]
     km = mask_ref[0, 0]
     g = g_ref[0]                                           # [BQ, D]
-    lse = lse_ref[0]                                       # [BQ, 1]
+    mrow = mrow_ref[0]                                     # [BQ, 1]
+    lrow = lrow_ref[0]                                     # [BQ, 1]
     dd = dd_ref[0]                                         # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     s = jnp.where(km[None, :] > 0, s, NEG)
-    p = jnp.exp(s - lse)                                   # [BQ, BK]
+    p = jnp.exp(s - mrow) / lrow                           # [BQ, BK]
     dp = jax.lax.dot_general(
         g, v_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [BQ, BK]
-    ds = p * (dp - dd)
+    # the oracle's where(mask, s, NEG) blocks dS through masked keys
+    # (p itself stays live for dv: a fully-masked row has p = 1/N)
+    ds = jnp.where(km[None, :] > 0, p * (dp - dd), 0.0)
     acc_ref[:] += jax.lax.dot_general(
         ds, k_blk, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -162,8 +177,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
         dq_ref[0] = acc_ref[:] * scale
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
+                dd_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
     """dk/dv accumulation: grid (bh, k-block, q-block), q minor."""
     qq = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -178,14 +193,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
     v_blk = v_ref[0]
     km = mask_ref[0, 0]
     g = g_ref[0]
-    lse = lse_ref[0]                                       # [BQ, 1]
+    mrow = mrow_ref[0]                                     # [BQ, 1]
+    lrow = lrow_ref[0]                                     # [BQ, 1]
     dd = dd_ref[0]                                         # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [BQ, BK]
     s = jnp.where(km[None, :] > 0, s, NEG)
-    p = jnp.exp(s - lse)
+    p = jnp.exp(s - mrow) / lrow
     # dv_j += P^T g
     dv_acc[:] += jax.lax.dot_general(
         p, g, (((0,), (0,)), ((), ())),
@@ -193,7 +209,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
     dp = jax.lax.dot_general(
         g, v_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - dd)                                     # [BQ, BK]
+    # masked keys get no dS (oracle where-backward); see _dq_kernel
+    ds = jnp.where(km[None, :] > 0, p * (dp - dd), 0.0)    # [BQ, BK]
     # dk_j += scale * dS^T q_raw; q here is pre-scaled, so scale folds in
     dk_acc[:] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
@@ -205,7 +222,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, lse_ref, dd_ref,
         dv_ref[0] = dv_acc[:]
 
 
-def _flash_backward(q, k, v, mask, o, lse, g, block_q: int, block_k: int):
+def _flash_backward(q, k, v, mask, o, mrow, lrow, g,
+                    block_q: int, block_k: int):
     bh, n, d = q.shape
     scale = d ** -0.5
     g = g.astype(jnp.float32)
@@ -225,14 +243,14 @@ def _flash_backward(q, k, v, mask, o, lse, g, block_q: int, block_k: int):
         out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
         grid=(bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k)),
         in_specs=[q_spec, k_spec, k_spec, mask_spec, q_spec, row_spec,
-                  row_spec],
+                  row_spec, row_spec],
         out_specs=q_spec,
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * n * n * d, transcendentals=n * n,
             bytes_accessed=4 * (5 * n * d + 3 * n)),
         interpret=_interpret(),
-    )(q, k, v, mask, g, lse, dd)
+    )(q, k, v, mask, g, mrow, lrow, dd)
 
     # q-minor grid: index maps swap (i, j) meaning — dim 1 is the K block
     kq_q_spec = pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0),
@@ -249,7 +267,7 @@ def _flash_backward(q, k, v, mask, o, lse, g, block_q: int, block_k: int):
                    jax.ShapeDtypeStruct((bh, n, d), jnp.float32)],
         grid=(bh, pl.cdiv(n, block_k), pl.cdiv(n, block_q)),
         in_specs=[kq_q_spec, kq_k_spec, kq_k_spec, kq_mask_spec, kq_q_spec,
-                  kq_row_spec, kq_row_spec],
+                  kq_row_spec, kq_row_spec, kq_row_spec],
         out_specs=[kq_k_spec, kq_k_spec],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
@@ -257,7 +275,7 @@ def _flash_backward(q, k, v, mask, o, lse, g, block_q: int, block_k: int):
             flops=8 * n * n * d, transcendentals=n * n,
             bytes_accessed=4 * (7 * n * d + 3 * n)),
         interpret=_interpret(),
-    )(q, k, v, mask, g, lse, dd)
+    )(q, k, v, mask, g, mrow, lrow, dd)
     return dq, dk, dv
 
 
@@ -272,18 +290,18 @@ def _attention_xla(q, k, v, mask):
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, mask, block_q, block_k):
-    out, _ = _flash_forward(q, k, v, mask, block_q, block_k)
+    out, _, _ = _flash_forward(q, k, v, mask, block_q, block_k)
     return out
 
 
 def _flash_fwd(q, k, v, mask, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, mask, block_q, block_k)
-    return out, (q, k, v, mask, out, lse)
+    out, mrow, lrow = _flash_forward(q, k, v, mask, block_q, block_k)
+    return out, (q, k, v, mask, out, mrow, lrow)
 
 
 def _flash_bwd(block_q, block_k, res, g):
-    q, k, v, mask, o, lse = res
-    dq, dk, dv = _flash_backward(q, k, v, mask, o, lse, g,
+    q, k, v, mask, o, mrow, lrow = res
+    dq, dk, dv = _flash_backward(q, k, v, mask, o, mrow, lrow, g,
                                  block_q, block_k)
     return dq, dk, dv, None
 

@@ -38,15 +38,23 @@ class AttentionExtractor(nn.Module):
     context_parallel: int = 0
     cp_min_len: int = 1024
 
-    def _use_ring(self, n: int, deterministic: bool) -> bool:
+    def _ring_devices(self, n: int, deterministic: bool) -> int:
+        """Effective ring size (0 = use the dense/flash path).
+
+        Clamped to the devices actually present: make_mesh truncates a
+        larger request silently, so checking divisibility against the
+        REQUESTED count could assert-fail inside ring_attention (or
+        silently under-shard) on smaller hosts.
+        """
         if not self.context_parallel or not deterministic:
-            return False
+            return 0
         if n < self.cp_min_len:
-            return False
+            return 0
         import jax
-        p = self.context_parallel if self.context_parallel > 0 \
-            else len(jax.devices())
-        return n % p == 0
+        avail = len(jax.devices())
+        p = self.context_parallel if self.context_parallel > 0 else avail
+        p = min(p, avail)
+        return p if (p > 1 and n % p == 0) else 0
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -63,10 +71,11 @@ class AttentionExtractor(nn.Module):
         k = proj("K").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
         v = proj("V").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
 
-        if self._use_ring(n, deterministic):
+        ring_p = self._ring_devices(n, deterministic)
+        if ring_p:
             from edsnet_tpu.parallel import make_mesh
             from edsnet_tpu.parallel.ring_attention import ring_attention
-            mesh = make_mesh(max(self.context_parallel, 0))
+            mesh = make_mesh(ring_p)
             # ring_attention applies the d_k**-0.5 scale itself
             y = ring_attention(q, k, v, mask, mesh=mesh).astype(x.dtype)
         elif self.use_pallas and deterministic and n >= self.pallas_min_len:

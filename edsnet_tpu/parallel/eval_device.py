@@ -25,13 +25,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def batch_eval_device(records: List[VideoRecord], batch_size: int,
-                      bucket_size: int) -> Iterator[Dict]:
+                      bucket_size: int,
+                      need_motion: bool | None = None) -> Iterator[Dict]:
     """Pad records into device-ready eval batches.
 
     Per batch: seq [B,L,F], mask [B,L], lens [B], picks [B,L],
     cps [B,S,2], nfps [B,S], seg_valid [B,S], n_frames [B],
     user_summary [B,U,Fr], user_valid [B,U], is_avg [B] (tvsum metric),
     video_valid [B]; static dims L (seq bucket), S, Fr (frame bucket), U.
+
+    ``need_motion`` is what the MODEL consumes: False skips motion arrays
+    entirely (a partial-motion h5 evaluates fine under a non-motion
+    model), True requires motion_features for every record, None infers
+    from the data (legacy: all-or-nothing per chunk).
     """
     # coarse buckets: every distinct (seq bucket, frame bucket) pair is a
     # separate XLA program, and compiles are minutes-expensive on the
@@ -113,12 +119,15 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                     out["user_valid"][j, :u] = True
                 out["is_avg"][j] = "tvsum" in r.key
             has_motion = [r.motion_features is not None for r in chunk]
-            if any(has_motion) and not all(has_motion):
+            if need_motion is False:
+                has_motion = [False]
+            elif (need_motion is True and not all(has_motion)) or \
+                    (need_motion is None
+                     and any(has_motion) and not all(has_motion)):
                 missing = [r.key for r, h in zip(chunk, has_motion)
                            if not h]
                 raise ValueError(
-                    f"eval batch mixes videos with and without "
-                    f"motion_features; missing for {missing[:3]} — a "
+                    f"motion_features missing for {missing[:3]} — a "
                     f"cross-attention model needs motion for every video")
             if has_motion[0]:
                 m_len = _round_up(max(r.motion_features.shape[0]
@@ -183,7 +192,8 @@ def _eval_batch_device(model, variables, batch, num_scales: int,
 
 
 def prepare_eval_batches(records: List[VideoRecord], batch_size: int,
-                         bucket_size: int) -> List[Dict]:
+                         bucket_size: int,
+                         need_motion: bool | None = None) -> List[Dict]:
     """Upload eval batches to the device ONCE for reuse across epochs.
 
     Train-time eval runs every epoch on the same records; re-uploading
@@ -192,13 +202,19 @@ def prepare_eval_batches(records: List[VideoRecord], batch_size: int,
     ``prepared=`` argument.
     """
     prepared = []
-    for batch in batch_eval_device(records, batch_size, bucket_size):
+    for batch in batch_eval_device(records, batch_size, bucket_size,
+                                   need_motion=need_motion):
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
         prepared.append({"jb": jb, "frame_bucket": batch["frame_bucket"],
                          "uniform_rate": batch["uniform_rate"],
                          "records": batch["records"]})
     return prepared
+
+
+def _needs_motion(model) -> bool:
+    from edsnet_tpu.models.dsnet import DSNetMotionFeatures
+    return isinstance(model, DSNetMotionFeatures)
 
 
 def _num_scales_of(model) -> int:
@@ -242,7 +258,8 @@ def evaluate_on_device(model, variables, records: List[VideoRecord],
     num_scales = _num_scales_of(model)
 
     if prepared is None:
-        prepared = prepare_eval_batches(records, batch_size, bucket_size)
+        prepared = prepare_eval_batches(records, batch_size, bucket_size,
+                                        need_motion=_needs_motion(model))
 
     # dispatch every batch first, fetch once: host syncs cost 100ms+ on
     # tunneled platforms, so per-batch np.asarray() made eval dominate the

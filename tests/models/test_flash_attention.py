@@ -127,3 +127,26 @@ def test_attention_extractor_pallas_path_matches():
     out_flash = flash_mod.apply(variables, x, None, True)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_flash_backward_fully_masked_row():
+    """A row whose mask is entirely False: the stored (m, l) pair keeps the
+    backward's P equal to the oracle softmax's uniform 1/N (a collapsed
+    logsumexp m + log(l) would round to m in f32 and inflate grads ~N x)."""
+    q, k, v = _qkv(b=2, h=2, n=128, d=64, seed=5)
+    n = q.shape[2]
+    mask = jnp.asarray(np.arange(n)[None, :] < np.asarray([96, 0])[:, None])
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask, block_q=64, block_k=64)
+        return jnp.sum(out ** 2)   # unmasked sum touches the dead row too
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, mask) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"d{name}")
