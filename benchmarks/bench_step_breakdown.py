@@ -101,14 +101,8 @@ def main():
         chain(sample_body, jnp.float32(0), lambda x: x)) * 1e3
 
     # 1b. the pre-round-3 argsort formulation, for the delta
-    def _sample_marks_argsort(eligible, num, key):
-        flat = eligible.reshape(-1)
-        u = jax.random.uniform(key, flat.shape)
-        u = jnp.where(flat, u, jnp.inf)
-        order = jnp.argsort(u)
-        rank = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0]))
-        return (flat & (rank < num)).reshape(eligible.shape)
+    from edsnet_tpu.parallel.steps import \
+        _sample_marks_argsort_reference as _sample_marks_argsort
 
     def argsort_body(x, key):
         neg_rng, inc_rng = jax.random.split(key)

@@ -48,6 +48,20 @@ def resolve_batch(batch: Dict) -> Dict:
     return out
 
 
+def _sample_marks_argsort_reference(eligible, num, rng):
+    """Rank-of-random spec oracle for _sample_marks (the pre-round-3
+    formulation): stable argsort of the uniform draws, keep ranks < num.
+    Kept importable so the parity test and the step-breakdown benchmark
+    measure/pin the SAME baseline."""
+    shape = eligible.shape
+    flat = eligible.reshape(-1)
+    u = jax.random.uniform(rng, flat.shape)
+    u = jnp.where(flat, u, jnp.inf)
+    order = jnp.argsort(u)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return (flat & (rank < num)).reshape(shape)
+
+
 def _sample_marks(eligible, num, rng):
     """Mark `num` random entries among `eligible` (rank-of-random).
 

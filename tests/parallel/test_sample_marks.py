@@ -10,18 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from edsnet_tpu.parallel.steps import _sample_marks
-
-
-def _sample_marks_argsort(eligible, num, rng):
-    """The pre-round-3 formulation (spec oracle)."""
-    shape = eligible.shape
-    flat = eligible.reshape(-1)
-    u = jax.random.uniform(rng, flat.shape)
-    u = jnp.where(flat, u, jnp.inf)
-    order = jnp.argsort(u)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return (flat & (rank < num)).reshape(shape)
+from edsnet_tpu.parallel.steps import (
+    _sample_marks, _sample_marks_argsort_reference as _sample_marks_argsort)
 
 
 def test_matches_argsort_formulation():
