@@ -131,10 +131,12 @@ def main():
     # 3. forward + backward (grads wrt params)
     cls_label = build_ab_cls_labels(batch, jax.random.PRNGKey(9), 2.0, 1.0)
 
+    def fwd(p, key):
+        return model.apply({"params": p}, batch["seq"], batch["mask"],
+                           deterministic=False, rngs={"dropout": key})
+
     def loss_fn(p, key):
-        pred_cls, pred_loc = model.apply(
-            {"params": p}, batch["seq"], batch["mask"],
-            deterministic=False, rngs={"dropout": key})
+        pred_cls, pred_loc = fwd(p, key)
         loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"],
                                       cls_label)
         cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
@@ -167,9 +169,7 @@ def main():
         lbl = build_ab_cls_labels(batch, label_rng, 2.0, 1.0)
 
         def lf(pp):
-            pred_cls, pred_loc = model.apply(
-                {"params": pp}, batch["seq"], batch["mask"],
-                deterministic=False, rngs={"dropout": drop_rng})
+            pred_cls, pred_loc = fwd(pp, drop_rng)
             loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"],
                                           lbl)
             cls = jax.vmap(L.ab_cls_loss)(pred_cls, lbl)

@@ -184,6 +184,19 @@ def get_parser() -> argparse.ArgumentParser:
                         help="route the attention backbone's deterministic "
                              "path through the Pallas flash-attention "
                              "kernel (2x+ at N>=2048)")
+    parser.add_argument("--compute-dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="training forward/backward dtype; bfloat16 "
+                             "keeps f32 master params and f32 losses/"
+                             "optimizer (mixed precision) and roughly "
+                             "halves the HBM-bound step's traffic")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize forward activations in the "
+                             "backward (jax.checkpoint) instead of saving "
+                             "them — for memory-pressured configs (large "
+                             "per-chip batches / long sequences); at the "
+                             "paper config it measures within platform "
+                             "noise of the default")
     return parser
 
 

@@ -112,28 +112,64 @@ def build_ab_cls_labels(batch: Dict, rng, neg_ratio: float, inc_ratio: float):
     return jnp.where(neg | inc, -1, batch["cls_pos"])
 
 
-@partial(jax.jit, static_argnames=("lambda_reg", "neg_ratio", "inc_ratio"),
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda t: t.astype(dtype)
+        if jnp.issubdtype(t.dtype, jnp.floating) else t, tree)
+
+
+@partial(jax.jit, static_argnames=("lambda_reg", "neg_ratio", "inc_ratio",
+                                   "remat", "compute_dtype"),
          donate_argnums=(0,))
 def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
-                  neg_ratio: float, inc_ratio: float):
-    """One anchor-based step over a padded batch. (anchor_based/train.py:77-131)"""
+                  neg_ratio: float, inc_ratio: float, remat: bool = False,
+                  compute_dtype: str = "float32"):
+    """One anchor-based step over a padded batch. (anchor_based/train.py:77-131)
+
+    ``remat`` wraps the forward in jax.checkpoint (recompute activations
+    in the backward instead of saving them).  The step is HBM-bound
+    (~1.6 GB accessed vs 56 GFLOP at B=8, N=512) so this LOOKED like a
+    win — one measurement showed 1.47 -> 0.83 ms — but an interleaved
+    A/B put it at parity-to-slightly-worse (medians 1.38 vs 1.53 ms; the
+    remote compiler's schedule lottery swings single runs 2x).  Default
+    OFF; the --remat flag exists for memory-pressured configs (large
+    per-chip batches / long sequences), where trading HBM residency for
+    recompute is the right call.
+
+    ``compute_dtype='bfloat16'`` runs the forward/backward in bf16 with
+    f32 master params and f32 losses/optimizer (standard mixed
+    precision): measured 1.47 -> 1.30-1.34 ms and 1.6 GB -> 0.9 GB
+    accessed — the one traffic-reduction lever that repeats across the
+    platform's schedule lottery.  Default f32 (reference parity).
+    """
     batch = resolve_batch(batch)
     drop_rng, label_rng = jax.random.split(rng)
     cls_label = build_ab_cls_labels(batch, label_rng, neg_ratio, inc_ratio)
     video_valid = batch["video_valid"] & (batch["num_pos"] > 0)
 
-    def loss_fn(params):
+    cd = jnp.dtype(compute_dtype)
+
+    def fwd(params, key):
+        if cd != jnp.float32:
+            params = _cast_floats(params, cd)
         if "motion" in batch:
-            pred_cls, pred_loc = state.apply_fn(
+            out = state.apply_fn(
                 {"params": params, **(state.constants or {})},
-                batch["seq"], batch["motion"], batch["mask"],
-                batch["motion_mask"], deterministic=False,
-                rngs={"dropout": drop_rng})
+                batch["seq"].astype(cd), batch["motion"].astype(cd),
+                batch["mask"], batch["motion_mask"], deterministic=False,
+                rngs={"dropout": key})
         else:
-            pred_cls, pred_loc = state.apply_fn(
+            out = state.apply_fn(
                 {"params": params, **(state.constants or {})},
-                batch["seq"], batch["mask"], deterministic=False,
-                rngs={"dropout": drop_rng})
+                batch["seq"].astype(cd), batch["mask"],
+                deterministic=False, rngs={"dropout": key})
+        return jax.tree.map(lambda t: t.astype(jnp.float32), out)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
+    def loss_fn(params):
+        pred_cls, pred_loc = fwd(params, drop_rng)
         loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"], cls_label)
         cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
         per_video = cls + lambda_reg * loc
@@ -150,18 +186,34 @@ def ab_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
 
 
 @partial(jax.jit, static_argnames=("lambda_reg", "lambda_ctr", "cls_kind",
-                                   "reg_kind"), donate_argnums=(0,))
+                                   "reg_kind", "remat", "compute_dtype"),
+         donate_argnums=(0,))
 def af_train_step(state: TrainState, batch: Dict, rng, *, lambda_reg: float,
-                  lambda_ctr: float, cls_kind: str, reg_kind: str):
-    """One anchor-free step over a padded batch. (anchor_free/train.py:55-88)"""
+                  lambda_ctr: float, cls_kind: str, reg_kind: str,
+                  remat: bool = False, compute_dtype: str = "float32"):
+    """One anchor-free step over a padded batch. (anchor_free/train.py:55-88)
+
+    ``remat`` / ``compute_dtype`` as in ab_train_step: opt-in activation
+    rematerialization and bf16 mixed-precision compute.
+    """
     batch = resolve_batch(batch)
     video_valid = batch["video_valid"]
+    cd = jnp.dtype(compute_dtype)
+
+    def fwd(params, key):
+        if cd != jnp.float32:
+            params = _cast_floats(params, cd)
+        out = state.apply_fn(
+            {"params": params, **(state.constants or {})},
+            batch["seq"].astype(cd), batch["mask"], deterministic=False,
+            rngs={"dropout": key})
+        return jax.tree.map(lambda t: t.astype(jnp.float32), out)
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
 
     def loss_fn(params):
-        pred_cls, pred_loc, pred_ctr = state.apply_fn(
-            {"params": params, **(state.constants or {})},
-            batch["seq"], batch["mask"], deterministic=False,
-            rngs={"dropout": rng})
+        pred_cls, pred_loc, pred_ctr = fwd(params, rng)
         cls = jax.vmap(lambda p, t, m: L.af_cls_loss(p, t, cls_kind, m))(
             pred_cls, batch["target"], batch["mask"])
         loc = jax.vmap(lambda p, t, c: L.af_loc_loss(p, t, c, reg_kind))(

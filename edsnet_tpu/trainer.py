@@ -226,12 +226,18 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                     state, metrics = ab_train_step(
                         state, dev_batch, sub, lambda_reg=args.lambda_reg,
                         neg_ratio=args.neg_sample_ratio,
-                        inc_ratio=args.incomplete_sample_ratio)
+                        inc_ratio=args.incomplete_sample_ratio,
+                        remat=bool(getattr(args, "remat", False)),
+                        compute_dtype=getattr(args, "compute_dtype",
+                                              "float32"))
                 else:
                     state, metrics = af_train_step(
                         state, dev_batch, sub, lambda_reg=args.lambda_reg,
                         lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
-                        reg_kind=args.reg_loss)
+                        reg_kind=args.reg_loss,
+                        remat=bool(getattr(args, "remat", False)),
+                        compute_dtype=getattr(args, "compute_dtype",
+                                              "float32"))
                 timer.stop(frames,
                            sync=metrics["loss"] if args.profile else None)
                 # keep metrics on device; a per-step float() would force a
