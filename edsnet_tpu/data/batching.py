@@ -250,9 +250,15 @@ def pool_items(items: List[TrainItem], bucket_size: int
 
 
 def batch_eval_records(records: List[VideoRecord], batch_size: int,
-                       bucket_size: int,
-                       pad_batch_to: int = 1) -> Iterator[Dict]:
-    """Padded eval batches: model inputs + per-video host metadata."""
+                       bucket_size: int, pad_batch_to: int = 1,
+                       need_motion: bool | None = None) -> Iterator[Dict]:
+    """Padded eval batches: model inputs + per-video host metadata.
+
+    ``need_motion`` mirrors parallel/eval_device.batch_eval_device: what
+    the MODEL consumes — False skips motion arrays (partial-motion h5s
+    evaluate fine under non-motion models), True requires motion for
+    every record, None infers from the data (all-or-nothing per chunk).
+    """
     buckets: Dict[int, List[VideoRecord]] = {}
     for r in records:
         blen = _bucket_len(r.seq.shape[0], bucket_size)
@@ -269,7 +275,20 @@ def batch_eval_records(records: List[VideoRecord], batch_size: int,
             mask = np.stack([np.arange(blen) < r.seq.shape[0] for r in chunk]
                             + [np.zeros(blen, bool)] * (b_pad - b))
             out = {"seq": seq, "mask": mask, "records": chunk}
-            if chunk[0].motion_features is not None:
+            has_motion = [r.motion_features is not None for r in chunk]
+            if need_motion is False:
+                build_motion = False
+            elif (need_motion is True and not all(has_motion)) or \
+                    (need_motion is None
+                     and any(has_motion) and not all(has_motion)):
+                missing = [r.key for r, h in zip(chunk, has_motion)
+                           if not h]
+                raise ValueError(
+                    f"motion_features missing for {missing[:3]} — a "
+                    f"cross-attention model needs motion for every video")
+            else:
+                build_motion = has_motion[0]
+            if build_motion:
                 m_len = max(r.motion_features.shape[0] for r in chunk)
                 m_len = ((m_len + 15) // 16) * 16
                 motions = [_pad_to(np.asarray(r.motion_features, np.float32),

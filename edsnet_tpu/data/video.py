@@ -70,8 +70,6 @@ class _FlaxGoogLeNetExtractor:
     itself is NOT required."""
 
     def __init__(self):
-        import torch
-
         from edsnet_tpu.fetch_weights import cached_path
         from edsnet_tpu.models.googlenet import (GoogLeNetPool5,
                                                  convert_torch_state_dict,
@@ -82,6 +80,16 @@ class _FlaxGoogLeNetExtractor:
             raise FileNotFoundError(
                 f"no cached GoogLeNet weights at {path}; run "
                 f"`python -m edsnet_tpu.fetch_weights` first")
+        try:
+            import torch
+        except ImportError as e:
+            # distinct from the no-checkpoint case: re-running
+            # fetch_weights cannot help here
+            raise RuntimeError(
+                f"cached GoogLeNet weights found at {path}, but torch is "
+                f"required to read the .pth checkpoint (weights_only "
+                f"deserialization); install torch or pass "
+                f"feature_extractor='random'") from e
         sd = torch.load(path, map_location="cpu", weights_only=True)
         import jax
 
@@ -125,9 +133,12 @@ class FeatureExtractor:
             try:
                 self._impl = _FlaxGoogLeNetExtractor()
                 return
-            except (FileNotFoundError, ImportError):
-                # no cached checkpoint, or no torch to read the .pth —
-                # fall through to torchvision / the curated RuntimeError
+            except FileNotFoundError:
+                # no cached checkpoint: fall through to torchvision / the
+                # curated RuntimeError. (A cached checkpoint WITHOUT torch
+                # raises its own RuntimeError above — re-running
+                # fetch_weights cannot fix that, so it must not fall into
+                # the torchvision advice.)
                 pass
         try:
             self._impl = _TorchvisionExtractor(feature_extractor)

@@ -65,8 +65,10 @@ def evaluate(model, variables, val_records: List, nms_thresh: float,
     else:
         num_scales = 1
 
+    from edsnet_tpu.parallel.eval_device import model_needs_motion
     for batch in batching.batch_eval_records(val_records, batch_size,
-                                             bucket_size):
+                                             bucket_size,
+                                             need_motion=model_needs_motion(model)):
         lens = np.asarray([r.seq.shape[0] for r in batch["records"]]
                           + [0] * (batch["seq"].shape[0]
                                    - len(batch["records"])), np.int32)

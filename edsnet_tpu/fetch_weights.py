@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -50,8 +51,16 @@ WEIGHTS = {
 
 
 def hub_dir() -> Path:
-    import torch
-    return Path(torch.hub.get_dir()) / "checkpoints"
+    try:
+        import torch
+        return Path(torch.hub.get_dir()) / "checkpoints"
+    except ImportError:
+        # torch.hub.get_dir()'s documented default, computed without torch
+        # so cache PROBES work in torch-less environments
+        base = os.environ.get(
+            "TORCH_HOME", os.path.join(os.path.expanduser("~"),
+                                       ".cache", "torch"))
+        return Path(base) / "hub" / "checkpoints"
 
 
 def cached_path(name: str) -> Path:

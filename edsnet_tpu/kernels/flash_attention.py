@@ -25,6 +25,13 @@ than the collapsed logsumexp m + log(l): for a fully-masked row m is
 would make the backward weight every key with p = exp(0) = 1 instead of
 the oracle softmax's uniform 1/N.  p = exp(s - m) / l is algebraically
 identical elsewhere and exact in that edge case.
+
+Pad keys (time-axis padding to a block multiple) are distinguished from
+real-but-masked keys by mask value -1 vs 0 and scored 2*NEG vs NEG: in a
+fully-masked row (m = NEG) real masked keys then get exp(0) = 1 — the
+oracle's uniform fallback over the REAL length n — while pad keys get
+exp(NEG) = 0 and stay out of the denominator.  With a single mask level
+the uniform fallback would run over n_pad and skew out/dv by n/n_pad.
 """
 from __future__ import annotations
 
@@ -69,7 +76,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [BQ, BK]
-    s = jnp.where(km[None, :] > 0, s, NEG)
+    # km: 1 attend, 0 real-but-masked (NEG), -1 time-axis pad (2*NEG —
+    # excluded even from a fully-masked row's uniform fallback)
+    s = jnp.where(km[None, :] > 0, s,
+                  jnp.where(km[None, :] == 0, NEG, 2 * NEG))
 
     m_prev = m_ref[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -160,7 +170,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    s = jnp.where(km[None, :] > 0, s, NEG)
+    s = jnp.where(km[None, :] > 0, s,
+                  jnp.where(km[None, :] == 0, NEG, 2 * NEG))
     p = jnp.exp(s - mrow) / lrow                           # [BQ, BK]
     dp = jax.lax.dot_general(
         g, v_blk, (((1,), (1,)), ((), ())),
@@ -200,7 +211,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                # [BQ, BK]
-    s = jnp.where(km[None, :] > 0, s, NEG)
+    s = jnp.where(km[None, :] > 0, s,
+                  jnp.where(km[None, :] == 0, NEG, 2 * NEG))
     p = jnp.exp(s - mrow) / lrow
     # dv_j += P^T g
     dv_acc[:] += jax.lax.dot_general(
@@ -336,7 +348,9 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
     if n_pad != n:
         pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        m32 = jnp.pad(m32, ((0, 0), (0, n_pad - n)))
+        # pad keys are -1 (vs 0 = real-but-masked): a fully-masked row's
+        # uniform softmax fallback must run over the REAL length only
+        m32 = jnp.pad(m32, ((0, 0), (0, n_pad - n)), constant_values=-1)
 
     m32 = jnp.broadcast_to(m32[:, None, :],
                            (b, h, n_pad)).reshape(b * h, 1, n_pad)

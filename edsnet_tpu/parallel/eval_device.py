@@ -120,7 +120,7 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                 out["is_avg"][j] = "tvsum" in r.key
             has_motion = [r.motion_features is not None for r in chunk]
             if need_motion is False:
-                has_motion = [False]
+                build_motion = False
             elif (need_motion is True and not all(has_motion)) or \
                     (need_motion is None
                      and any(has_motion) and not all(has_motion)):
@@ -129,7 +129,9 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                 raise ValueError(
                     f"motion_features missing for {missing[:3]} — a "
                     f"cross-attention model needs motion for every video")
-            if has_motion[0]:
+            else:
+                build_motion = has_motion[0]
+            if build_motion:
                 m_len = _round_up(max(r.motion_features.shape[0]
                                       for r in chunk), 16)
                 out["motion"] = zeros((m_len,
@@ -212,7 +214,9 @@ def prepare_eval_batches(records: List[VideoRecord], batch_size: int,
     return prepared
 
 
-def _needs_motion(model) -> bool:
+def model_needs_motion(model) -> bool:
+    """Single source of truth for "this model consumes motion features"
+    (used by trainer/evaluate to gate motion batching)."""
     from edsnet_tpu.models.dsnet import DSNetMotionFeatures
     return isinstance(model, DSNetMotionFeatures)
 
@@ -259,7 +263,7 @@ def evaluate_on_device(model, variables, records: List[VideoRecord],
 
     if prepared is None:
         prepared = prepare_eval_batches(records, batch_size, bucket_size,
-                                        need_motion=_needs_motion(model))
+                                        need_motion=model_needs_motion(model))
 
     # dispatch every batch first, fetch once: host syncs cost 100ms+ on
     # tunneled platforms, so per-batch np.asarray() made eval dominate the

@@ -88,10 +88,11 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     # eval inputs live on device across epochs (tunnel uploads are slow)
     prepared_eval = None
     if not getattr(args, "host_eval", False):
-        from edsnet_tpu.parallel.eval_device import prepare_eval_batches
+        from edsnet_tpu.parallel.eval_device import (model_needs_motion,
+                                                     prepare_eval_batches)
         prepared_eval = prepare_eval_batches(
             val_records, max(args.batch_size, 1), args.bucket_size,
-            need_motion=(args.model_depth == "cross-attention"))
+            need_motion=model_needs_motion(model))
 
     if args.model_depth == "cross-attention":
         missing = [it.key for it in items if it.motion is None]

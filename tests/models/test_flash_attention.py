@@ -129,13 +129,20 @@ def test_attention_extractor_pallas_path_matches():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_flash_backward_fully_masked_row():
+@pytest.mark.parametrize("n,real", [(128, 96), (100, 77)])
+def test_flash_backward_fully_masked_row(n, real):
     """A row whose mask is entirely False: the stored (m, l) pair keeps the
     backward's P equal to the oracle softmax's uniform 1/N (a collapsed
-    logsumexp m + log(l) would round to m in f32 and inflate grads ~N x)."""
-    q, k, v = _qkv(b=2, h=2, n=128, d=64, seed=5)
-    n = q.shape[2]
-    mask = jnp.asarray(np.arange(n)[None, :] < np.asarray([96, 0])[:, None])
+    logsumexp m + log(l) would round to m in f32 and inflate grads ~N x).
+    n=100 exercises the time-axis pad: the uniform fallback must run over
+    the REAL length (pad keys are mask-level -1), not n_pad."""
+    q, k, v = _qkv(b=2, h=2, n=n, d=64, seed=5)
+    mask = jnp.asarray(np.arange(n)[None, :] < np.asarray([real, 0])[:, None])
+
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, mask)),
+                               rtol=1e-4, atol=1e-5)
 
     def loss_flash(q, k, v):
         out = flash_attention(q, k, v, mask, block_q=64, block_k=64)

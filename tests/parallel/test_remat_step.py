@@ -1,4 +1,5 @@
-"""remat=True (default) train step == remat=False step.
+"""The opt-in remat train step == the default (no-remat) step, and the
+bf16 mixed-precision step stays close to f32 with f32 master params.
 
 jax.checkpoint only changes WHEN the forward is computed (recomputed in
 the backward instead of saved), not WHAT — losses and parameter updates
@@ -8,7 +9,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from edsnet_tpu.data import batching
 from edsnet_tpu.models.dsnet import DSNet
 from edsnet_tpu.models.dsnet_af import DSNetAF
 from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
