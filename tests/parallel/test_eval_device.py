@@ -156,3 +156,27 @@ def test_missing_motion_raises_for_motion_model():
     records = _records()   # no motion_features at all
     with pytest.raises(ValueError, match="motion_features missing"):
         prepare_eval_batches(records, 2, 32, need_motion=True)
+
+
+def test_partial_motion_data_fine_for_nonmotion_model_host_path():
+    """Same partial-motion input through the HOST evaluator (--host-eval):
+    must match the all-plain result instead of crashing in batching."""
+    model = get_model("anchor-based", model_depth="shallow",
+                      base_model="linear", num_feature=FEAT, num_hidden=8,
+                      anchor_scales=(4, 8), num_head=2, fc_depth=1,
+                      attention_depth=1, encoder_type="classic",
+                      orientation="paper", pooling_type="roi")
+    rng = np.random.RandomState(12)
+    records = _records()
+    records[1] = records[1]._replace(
+        motion_features=rng.randn(8, FEAT).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, FEAT)),
+                           jnp.ones((1, 32), bool))
+    plain = [r._replace(motion_features=None) for r in records]
+    f_mixed, _ = evaluate(model, variables, records, nms_thresh=0.5,
+                          batch_size=2, bucket_size=32)
+    f_plain, _ = evaluate(model, variables, plain, nms_thresh=0.5,
+                          batch_size=2, bucket_size=32)
+    assert abs(f_mixed - f_plain) < 1e-6
