@@ -384,20 +384,15 @@ class DSNetMotionFeatures(nn.Module):
         h = nn.Dropout(0.5)(h, deterministic=deterministic)
         h = layer_norm(name="fcb_norm")(h)
         h = apply_mask(h, mask)
-        cls_head = _SplitDense(1, name="fc_cls")
-        loc_head = _SplitDense(2, name="fc_loc")
+        # share_scope keeps fc_cls/fc_loc at this module's top level (the
+        # pre-round-3 param layout) while reusing _AnchorHeads' fused/
+        # oracle formulations instead of duplicating them here
+        heads = _AnchorHeads(len(scales))
+        nn.share_scope(self, heads)
         if self.fused_roi_head:
-            zc, bc = cls_head(h, with_bias=False)
-            zl, bl = loc_head(h, with_bias=False)
-            pooled = roi_multi_scale(
-                jnp.concatenate([zc, zl], axis=-1), scales)
-            pred_cls = nn.sigmoid(pooled[..., 0] + bc[0])
-            pred_loc = pooled[..., 1:] + bl
-        else:
-            pooled = roi_multi_scale(h, scales)
-            pred_cls = nn.sigmoid(cls_head(pooled)[..., 0])
-            pred_loc = loc_head(pooled)
-        return pred_cls, pred_loc
+            return heads.fused_roi(h, scales)
+        pooled = roi_multi_scale(h, scales)
+        return heads(pooled, pooled)
 
     def predict(self, x, motion_features, mask=None, motion_mask=None):
         pred_cls, pred_loc = self(x, motion_features, mask, motion_mask,
