@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -311,7 +312,35 @@ def bench_torch_baseline(budget_s: float = 60.0) -> float:
 V5E_BF16_PEAK = 197e12   # TPU v5e peak bf16 FLOP/s (public spec)
 
 
+def _device_responsive(timeout_s: int = 90) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout.
+
+    The tunneled TPU platform can wedge so completely that even a 2x2
+    matmul never returns (and no in-process timeout can recover a stuck
+    device_get) — probing in a child process keeps this process able to
+    report the failure instead of hanging the whole bench run.
+    """
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((64, 64));"
+            "print(float((x @ x).sum()))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_responsive():
+        print(json.dumps({
+            "metric": "frames_scored_per_sec", "value": 0,
+            "unit": "frames/s", "vs_baseline": 0,
+            "error": "accelerator unresponsive: a 64x64 matmul did not "
+                     "complete in 90s (known tunnel wedge; retry later)"}))
+        sys.exit(1)
+
     import jax
 
     from edsnet_tpu.utils.runtime import setup_runtime
