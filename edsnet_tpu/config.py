@@ -169,6 +169,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="resume training from the saved train state "
                              "(model + optimizer + epoch) if present")
+    parser.add_argument("--state-save-every", type=int, default=0,
+                        help="with --resume, additionally persist the "
+                             "resumable train state every N epochs. 0 "
+                             "(default) saves only at logging epochs on "
+                             "the async path, where the host sync is "
+                             "already paid; N>0 trades extra syncs for a "
+                             "tighter crash-replay window")
     parser.add_argument("--context-parallel", type=int, default=0,
                         help="shard the attention backbone's sequence "
                              "axis over N devices via ring attention "

@@ -249,6 +249,29 @@ def pool_items(items: List[TrainItem], bucket_size: int
             for blen, group in sorted(buckets.items())]
 
 
+def resolve_build_motion(chunk: List[VideoRecord],
+                         need_motion: bool | None) -> bool:
+    """Whether to build motion arrays for this chunk.
+
+    ``need_motion`` is what the MODEL consumes: False skips motion arrays
+    entirely (partial-motion h5s evaluate fine under non-motion models),
+    True requires motion_features on every record, None infers from the
+    data (all-or-nothing per chunk).  Shared by batch_eval_records and
+    parallel/eval_device.batch_eval_device so the gating cannot drift.
+    """
+    has_motion = [r.motion_features is not None for r in chunk]
+    if need_motion is False:
+        return False
+    if (need_motion is True and not all(has_motion)) or \
+            (need_motion is None and any(has_motion)
+             and not all(has_motion)):
+        missing = [r.key for r, h in zip(chunk, has_motion) if not h]
+        raise ValueError(
+            f"motion_features missing for {missing[:3]} — a "
+            f"cross-attention model needs motion for every video")
+    return has_motion[0]
+
+
 def batch_eval_records(records: List[VideoRecord], batch_size: int,
                        bucket_size: int, pad_batch_to: int = 1,
                        need_motion: bool | None = None) -> Iterator[Dict]:
@@ -275,20 +298,7 @@ def batch_eval_records(records: List[VideoRecord], batch_size: int,
             mask = np.stack([np.arange(blen) < r.seq.shape[0] for r in chunk]
                             + [np.zeros(blen, bool)] * (b_pad - b))
             out = {"seq": seq, "mask": mask, "records": chunk}
-            has_motion = [r.motion_features is not None for r in chunk]
-            if need_motion is False:
-                build_motion = False
-            elif (need_motion is True and not all(has_motion)) or \
-                    (need_motion is None
-                     and any(has_motion) and not all(has_motion)):
-                missing = [r.key for r, h in zip(chunk, has_motion)
-                           if not h]
-                raise ValueError(
-                    f"motion_features missing for {missing[:3]} — a "
-                    f"cross-attention model needs motion for every video")
-            else:
-                build_motion = has_motion[0]
-            if build_motion:
+            if resolve_build_motion(chunk, need_motion):
                 m_len = max(r.motion_features.shape[0] for r in chunk)
                 m_len = ((m_len + 15) // 16) * 16
                 motions = [_pad_to(np.asarray(r.motion_features, np.float32),

@@ -55,11 +55,15 @@ def hub_dir() -> Path:
         import torch
         return Path(torch.hub.get_dir()) / "checkpoints"
     except ImportError:
-        # torch.hub.get_dir()'s documented default, computed without torch
-        # so cache PROBES work in torch-less environments
-        base = os.environ.get(
-            "TORCH_HOME", os.path.join(os.path.expanduser("~"),
-                                       ".cache", "torch"))
+        # torch.hub.get_dir()'s documented default chain, computed without
+        # torch so cache PROBES work in torch-less environments:
+        # $TORCH_HOME, else $XDG_CACHE_HOME/torch, else ~/.cache/torch
+        base = os.environ.get("TORCH_HOME")
+        if base is None:
+            xdg = os.environ.get(
+                "XDG_CACHE_HOME",
+                os.path.join(os.path.expanduser("~"), ".cache"))
+            base = os.path.join(xdg, "torch")
         return Path(base) / "hub" / "checkpoints"
 
 

@@ -59,11 +59,16 @@ def _max_pool_ceil(x, window: int, stride: int, padding: int = 0):
         return out
 
     oh, ow = out_size(h), out_size(w)
-    pad_h = (oh - 1) * stride + window - h
-    pad_w = (ow - 1) * stride + window - w
-    x = jnp.pad(x, ((0, 0), (padding, max(pad_h - padding, 0)),
-                    (padding, max(pad_w - padding, 0)), (0, 0)),
+    # pad to AT LEAST the extent the oh/ow windows cover, then crop to
+    # EXACTLY that extent: if torch's drop rule makes the needed trailing
+    # pad smaller than `padding` (possible for pool configs GoogLeNet does
+    # not use), cropping removes the excess so VALID pooling cannot emit
+    # an extra row/column
+    th, tw = (oh - 1) * stride + window, (ow - 1) * stride + window
+    x = jnp.pad(x, ((0, 0), (padding, max(th - h - padding, 0)),
+                    (padding, max(tw - w - padding, 0)), (0, 0)),
                 constant_values=-jnp.inf)
+    x = x[:, :th, :tw]
     return nn.max_pool(x, (window, window), strides=(stride, stride),
                        padding="VALID")
 

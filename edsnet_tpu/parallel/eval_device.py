@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from edsnet_tpu.data.batching import resolve_build_motion
 from edsnet_tpu.data.dataset import VideoRecord
 from edsnet_tpu.ops import bbox as bbox_ops
 from edsnet_tpu.ops import summary as summ_ops
@@ -118,20 +119,7 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
                         r.user_summary[:, :fr_max] > 0.5
                     out["user_valid"][j, :u] = True
                 out["is_avg"][j] = "tvsum" in r.key
-            has_motion = [r.motion_features is not None for r in chunk]
-            if need_motion is False:
-                build_motion = False
-            elif (need_motion is True and not all(has_motion)) or \
-                    (need_motion is None
-                     and any(has_motion) and not all(has_motion)):
-                missing = [r.key for r, h in zip(chunk, has_motion)
-                           if not h]
-                raise ValueError(
-                    f"motion_features missing for {missing[:3]} — a "
-                    f"cross-attention model needs motion for every video")
-            else:
-                build_motion = has_motion[0]
-            if build_motion:
+            if resolve_build_motion(chunk, need_motion):
                 m_len = _round_up(max(r.motion_features.shape[0]
                                       for r in chunk), 16)
                 out["motion"] = zeros((m_len,

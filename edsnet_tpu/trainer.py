@@ -298,6 +298,14 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                     ckpt_lib.save_train_state(
                         state, epoch + 1, best_f, state_path,
                         np_rng=rng, step_rng=step_rng)
+            elif (getattr(args, "resume", False)
+                  and getattr(args, "state_save_every", 0) > 0
+                  and (epoch + 1) % args.state_save_every == 0):
+                # opt-in tighter crash-replay window: persist the train
+                # state between logging epochs too (costs a host sync)
+                ckpt_lib.save_train_state(
+                    state, epoch + 1, float(best_f_dev), state_path,
+                    np_rng=rng, step_rng=step_rng)
             continue
 
         # synchronous host path (--host-eval)

@@ -154,3 +154,45 @@ def test_async_crash_leaves_best_checkpoint(tmp_path):
 def serialization_restore(path):
     from flax import serialization
     return serialization.msgpack_restore(path.read_bytes())
+
+
+def test_state_save_every_tightens_crash_window(tmp_path):
+    """--state-save-every N persists the resumable state between logging
+    epochs: a crash at a non-logging epoch resumes from that epoch, not
+    from the last logging epoch (~30 epochs earlier by default)."""
+    import pytest
+    from flax import serialization
+
+    from edsnet_tpu.data.dataset import load_yaml
+    from edsnet_tpu.parallel import eval_device
+    from edsnet_tpu.trainer import train
+
+    split_path = _make_mock_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    def run(model_dir, state_save_every):
+        args = _train_args(tmp_path, model_dir, 60)
+        args.state_save_every = state_save_every
+        calls = {"n": 0}
+        real = eval_device.eval_fscore_device
+
+        def dying(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 5:   # die after the epoch-4 eval (epoch 5)
+                raise RuntimeError("simulated crash")
+            return real(*a, **kw)
+
+        eval_device.eval_fscore_device = dying
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                train(args, split, tmp_path / f"{model_dir}.pt")
+        finally:
+            eval_device.eval_fscore_device = real
+        raw = serialization.msgpack_restore(
+            (tmp_path / f"{model_dir}.pt.state").read_bytes())
+        return raw["epoch"]
+
+    # default: last state save was the logging epoch 0 (records epoch 1)
+    assert run("defcad", 0) == 1
+    # knob: epochs 1-4 each persisted; crash at 5 resumes from epoch 5
+    assert run("tight", 1) == 5
