@@ -151,6 +151,12 @@ def get_parser() -> argparse.ArgumentParser:
                         help="assemble summaries on the host (native C++ "
                              "knapsack) instead of the default fully "
                              "on-device eval pipeline")
+    parser.add_argument("--knapsack-audit", action="store_true",
+                        help="during evaluation, solve each video's shot "
+                             "knapsack with BOTH the DP and the C++ "
+                             "branch&bound and report tie-selection "
+                             "divergence (count + F-score impact); "
+                             "implies host-path summary assembly")
     parser.add_argument("--matmul-precision", type=str, default=None,
                         choices=["default", "high", "highest", "bfloat16",
                                  "tensorfloat32", "float32"],

@@ -24,6 +24,7 @@ from edsnet_tpu.data import batching
 from edsnet_tpu.data.dataset import (AverageMeter, DataLoader, VideoDataset,
                                      get_ckpt_path, load_yaml)
 from edsnet_tpu.models.model_zoo import get_model
+from edsnet_tpu.native import load as _native_load
 from edsnet_tpu.ops import bbox as bbox_ops
 from edsnet_tpu.ops import summary as summ_ops
 from edsnet_tpu.utils import checkpoint as ckpt_lib
@@ -54,8 +55,58 @@ def _predict_nms(model, variables, seq, mask, lens, num_scales: int,
     return pred_cls, boxes_c, keeps
 
 
+class KnapsackAudit:
+    """Tie-selection audit: DP vs C++ branch&bound shot selection.
+
+    Both solvers are exact on the optimal *value*, but tied optima admit
+    multiple item sets and the two implementations (like the reference's
+    ortools B&B, vsumm_helper.py:26-45) break ties differently.  A tie flip
+    changes the summary, so on real data this audit quantifies how much of
+    the ±0.5-pt F budget tie divergence actually consumes: per video it
+    solves the summary both ways and records whether the summaries differ
+    and the F-score delta.
+    """
+
+    def __init__(self):
+        self.n_videos = 0
+        self.n_diverged = 0
+        self.abs_df: List[float] = []
+        self.available = _native_load() is not None
+
+    def check(self, record, kept_cls, kept_boxes, eval_metric: str) -> None:
+        if not self.available:
+            return
+        self.n_videos += 1
+        seq_len = record.seq.shape[0]
+        args = (seq_len, kept_cls, kept_boxes, record.cps, record.n_frames,
+                record.nfps, record.picks)
+        summ_dp = summ_ops.bbox2summary(*args, solver="dp")
+        summ_bnb = summ_ops.bbox2summary(*args, solver="bnb")
+        if np.array_equal(summ_dp, summ_bnb):
+            return
+        self.n_diverged += 1
+        f_dp = summ_ops.get_summ_f1score(summ_dp, record.user_summary,
+                                         eval_metric)
+        f_bnb = summ_ops.get_summ_f1score(summ_bnb, record.user_summary,
+                                          eval_metric)
+        self.abs_df.append(abs(f_dp - f_bnb))
+        logger.info("knapsack tie divergence on %s: F(dp)=%.4f F(bnb)=%.4f",
+                    record.key, f_dp, f_bnb)
+
+    def report(self) -> str:
+        if not self.available:
+            return "knapsack audit: native B&B unavailable, audit skipped"
+        if not self.n_diverged:
+            return (f"knapsack audit: 0/{self.n_videos} videos diverged "
+                    f"(DP and B&B selections identical)")
+        return (f"knapsack audit: {self.n_diverged}/{self.n_videos} videos "
+                f"diverged; |dF| mean {np.mean(self.abs_df):.4f} "
+                f"max {np.max(self.abs_df):.4f}")
+
+
 def evaluate(model, variables, val_records: List, nms_thresh: float,
-             batch_size: int = 4, bucket_size: int = 64):
+             batch_size: int = 4, bucket_size: int = 64,
+             knapsack_audit: "KnapsackAudit | None" = None):
     """F-score + diversity over a list of VideoRecords. (evaluate.py:14-40)"""
     stats = AverageMeter("fscore", "diversity")
     num_scales = getattr(model, "anchor_scales", None)
@@ -97,6 +148,9 @@ def evaluate(model, variables, val_records: List, nms_thresh: float,
                 record.nfps, record.picks)
 
             eval_metric = "avg" if "tvsum" in record.key else "max"
+            if knapsack_audit is not None:
+                knapsack_audit.check(record, kept_cls, kept_boxes,
+                                     eval_metric)
             fscore = summ_ops.get_summ_f1score(
                 pred_summ, record.user_summary, eval_metric)
             down = summ_ops.downsample_summ(pred_summ)[:seq_len]
@@ -144,7 +198,14 @@ def main(argv=None):
 
             val_set = VideoDataset(split["test_keys"], args.data_root)
             records = [val_set[i] for i in range(len(val_set))]
-            if getattr(args, "host_eval", False):
+            audit = None
+            eval_kwargs = {}
+            if getattr(args, "knapsack_audit", False):
+                # the audit compares host solvers, so it rides the host path
+                audit = KnapsackAudit()
+                eval_fn = evaluate
+                eval_kwargs["knapsack_audit"] = audit
+            elif getattr(args, "host_eval", False):
                 eval_fn = evaluate
             else:
                 from edsnet_tpu.parallel.eval_device import evaluate_on_device
@@ -152,7 +213,12 @@ def main(argv=None):
             fscore, diversity = eval_fn(model, variables, records,
                                         args.nms_thresh,
                                         batch_size=max(args.batch_size, 1),
-                                        bucket_size=args.bucket_size)
+                                        bucket_size=args.bucket_size,
+                                        **eval_kwargs)
+            if audit is not None:
+                msg = audit.report()
+                logger.info(msg)
+                print(msg)
             stats.update(fscore=fscore, diversity=diversity)
             msg = (f"{split_path.stem} split {split_idx}: diversity: "
                    f"{diversity:.4f}, F-score: {fscore:.4f}")

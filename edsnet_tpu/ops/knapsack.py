@@ -53,20 +53,35 @@ def _knapsack_numpy(values: np.ndarray, weights: np.ndarray,
 
 
 def knapsack(values: Iterable[int], weights: Iterable[int],
-             capacity: int) -> List[int]:
+             capacity: int, solver: str = "auto") -> List[int]:
     """Solve 0/1 knapsack exactly; returns packed item indices.
 
     Host-side replacement for vsumm_helper.py:26-45 (ortools B&B).
 
-    Strategy: dense DP when the table is small (O(n * capacity), exact and
-    *predictable* — branch & bound degenerates exponentially on many
-    similar-density items, which is exactly what per-shot video scores look
-    like); the C++ B&B handles the huge-capacity regime where a DP table
-    would not fit.
+    Strategy (``solver="auto"``): dense DP when the table is small
+    (O(n * capacity), exact and *predictable* — branch & bound degenerates
+    exponentially on many similar-density items, which is exactly what
+    per-shot video scores look like); the C++ B&B handles the huge-capacity
+    regime where a DP table would not fit.
+
+    ``solver="dp"`` / ``solver="bnb"`` force one implementation — both are
+    exact, but on *tied* optima they can pick different item sets (the
+    reference's ortools B&B has its own tie order).  The eval-time knapsack
+    audit uses the forced modes to measure that divergence on real videos.
+    ``"bnb"`` raises RuntimeError when the native extension is unavailable.
     """
     values = np.asarray(list(values), dtype=np.int64)
     weights = np.asarray(list(weights), dtype=np.int64)
     capacity = int(capacity)
+    if solver == "dp":
+        return _knapsack_numpy(values, weights, capacity)
+    if solver == "bnb":
+        lib = _native_load()
+        if lib is None:
+            raise RuntimeError("native C++ knapsack unavailable")
+        return lib.knapsack(values, weights, capacity)
+    if solver != "auto":
+        raise ValueError(f"unknown knapsack solver {solver!r}")
     if values.size * max(capacity, 1) <= 50_000_000:
         return _knapsack_numpy(values, weights, capacity)
     lib = _native_load()

@@ -62,7 +62,8 @@ def upsample_scores(pred: np.ndarray, picks: np.ndarray,
 
 def get_keyshot_summ(pred: np.ndarray, cps: np.ndarray, n_frames: int,
                      nfps: np.ndarray, picks: np.ndarray,
-                     proportion: float = 0.15) -> np.ndarray:
+                     proportion: float = 0.15,
+                     solver: str = "auto") -> np.ndarray:
     """Keyshot binary summary via per-shot means + knapsack at 15% budget.
 
     Mirrors vsumm_helper.py:53-98 including NaN-propagation behavior: a NaN
@@ -81,7 +82,7 @@ def get_keyshot_summ(pred: np.ndarray, cps: np.ndarray, n_frames: int,
         seg_scores[seg_idx] = int(mean)
 
     limits = int(n_frames * proportion)
-    packed = knapsack(seg_scores, nfps, limits)
+    packed = knapsack(seg_scores, nfps, limits, solver=solver)
 
     summary = np.zeros(n_frames, dtype=bool)
     for seg_idx in packed:
@@ -92,13 +93,14 @@ def get_keyshot_summ(pred: np.ndarray, cps: np.ndarray, n_frames: int,
 
 def bbox2summary(seq_len: int, pred_cls: np.ndarray, pred_bboxes: np.ndarray,
                  change_points: np.ndarray, n_frames: int, nfps: np.ndarray,
-                 picks: np.ndarray) -> np.ndarray:
+                 picks: np.ndarray, solver: str = "auto") -> np.ndarray:
     """Max-score rasterization of boxes -> keyshot summary. (vsumm_helper.py:101-116)"""
     score = np.zeros(seq_len, dtype=np.float32)
     for bbox_idx in range(len(pred_bboxes)):
         lo, hi = pred_bboxes[bbox_idx, 0], pred_bboxes[bbox_idx, 1]
         score[lo:hi] = np.maximum(score[lo:hi], [pred_cls[bbox_idx]])
-    return get_keyshot_summ(score, change_points, n_frames, nfps, picks)
+    return get_keyshot_summ(score, change_points, n_frames, nfps, picks,
+                            solver=solver)
 
 
 def get_summ_diversity(pred_summ: np.ndarray,
