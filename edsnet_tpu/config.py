@@ -193,10 +193,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cp-min-len", type=int, default=1024,
                         help="minimum sequence length for "
                              "--context-parallel routing")
-    parser.add_argument("--use-pallas", action="store_true",
+    parser.add_argument("--use-pallas", action="store_true", default=None,
+                        dest="use_pallas",
                         help="route the attention backbone's deterministic "
                              "path through the Pallas flash-attention "
-                             "kernel (2x+ at N>=2048)")
+                             "kernel from N>=1024 (2x+ at N>=2048; "
+                             "'default' MXU precision). Unset = auto: "
+                             "flash from N>=2048 at 'highest' kernel "
+                             "precision (<=1e-3 vs the f32 oracle)")
+    parser.add_argument("--no-pallas", action="store_false", default=None,
+                        dest="use_pallas",
+                        help="always use the XLA attention path")
     parser.add_argument("--compute-dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="training forward/backward dtype; bfloat16 "

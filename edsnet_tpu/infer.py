@@ -57,9 +57,9 @@ def main():
     args = config_lib.get_arguments()
     from edsnet_tpu.utils.runtime import setup_runtime
     setup_runtime(args.device, matmul_precision=getattr(args, 'matmul_precision', None))
-    if getattr(args, "use_pallas", False):
+    if getattr(args, "use_pallas", None) is not None:
         from edsnet_tpu.models.base import set_use_pallas
-        set_use_pallas(True)
+        set_use_pallas(args.use_pallas)
     if getattr(args, "context_parallel", 0):
         from edsnet_tpu.models.base import set_context_parallel
         set_context_parallel(args.context_parallel,

@@ -50,8 +50,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _precision(name: str):
+    return {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
-                  acc_ref, m_ref, l_ref, *, scale: float):
+                  acc_ref, m_ref, l_ref, *, scale: float, prec: str):
     """One (batch*head, q-block, k-block) grid step.
 
     The k axis is the minor grid dimension: TPU grid steps run
@@ -75,7 +80,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
 
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BQ, BK]
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))                # [BQ, BK]
     # km: 1 attend, 0 real-but-masked (NEG), -1 time-axis pad (2*NEG —
     # excluded even from a fully-masked row's uniform fallback)
     s = jnp.where(km[None, :] > 0, s,
@@ -89,7 +95,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
                                                   keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p, v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))
     m_ref[:, :1] = m_new
 
     @pl.when(kk == nk - 1)
@@ -100,7 +107,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, mrow_ref, lrow_ref,
         lrow_ref[0] = l_fin
 
 
-def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
+def _flash_forward(q, k, v, mask, block_q: int, block_k: int,
+                   prec: str = "default"):
     """Returns (out [BH, N, D], mrow, lrow [BH, N, 1] — column layout so
     their (1, BQ, 1) blocks satisfy the TPU tiling rules and land in
     kernels as the [BQ, 1] columns the softmax math needs,
@@ -109,7 +117,7 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
     scale = d ** -0.5
     grid = (bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k))
     return pl.pallas_call(
-        partial(_flash_kernel, scale=scale),
+        partial(_flash_kernel, scale=scale, prec=prec),
         out_shape=[jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
                    jax.ShapeDtypeStruct((bh, n, 1), jnp.float32),
                    jax.ShapeDtypeStruct((bh, n, 1), jnp.float32)],
@@ -145,7 +153,7 @@ def _flash_forward(q, k, v, mask, block_q: int, block_k: int):
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
-               dd_ref, dq_ref, acc_ref, *, scale: float):
+               dd_ref, dq_ref, acc_ref, *, scale: float, prec: str):
     """dq accumulation: grid (bh, q-block, k-block), k minor.
 
     ds = P * (dP - D) with P = exp(S - m) / l, dP = g V^T,
@@ -169,19 +177,22 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
 
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))
     s = jnp.where(km[None, :] > 0, s,
                   jnp.where(km[None, :] == 0, NEG, 2 * NEG))
     p = jnp.exp(s - mrow) / lrow                           # [BQ, BK]
     dp = jax.lax.dot_general(
         g, v_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BQ, BK]
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))                # [BQ, BK]
     # the oracle's where(mask, s, NEG) blocks dS through masked keys
     # (p itself stays live for dv: a fully-masked row has p = 1/N)
     ds = jnp.where(km[None, :] > 0, p * (dp - dd), 0.0)
     acc_ref[:] += jax.lax.dot_general(
         ds, k_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))
 
     @pl.when(kk == nk - 1)
     def _():
@@ -189,7 +200,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
-                dd_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+                dd_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                prec: str):
     """dk/dv accumulation: grid (bh, k-block, q-block), q minor."""
     qq = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -210,23 +222,27 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
 
     s = jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BQ, BK]
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))                # [BQ, BK]
     s = jnp.where(km[None, :] > 0, s,
                   jnp.where(km[None, :] == 0, NEG, 2 * NEG))
     p = jnp.exp(s - mrow) / lrow
     # dv_j += P^T g
     dv_acc[:] += jax.lax.dot_general(
         p, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BK, D]
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))                # [BK, D]
     dp = jax.lax.dot_general(
         g, v_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))
     # masked keys get no dS (oracle where-backward); see _dq_kernel
     ds = jnp.where(km[None, :] > 0, p * (dp - dd), 0.0)    # [BQ, BK]
     # dk_j += scale * dS^T q_raw; q here is pre-scaled, so scale folds in
     dk_acc[:] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [BK, D]
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec))                # [BK, D]
 
     @pl.when(qq == nq - 1)
     def _():
@@ -235,7 +251,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, mrow_ref, lrow_ref,
 
 
 def _flash_backward(q, k, v, mask, o, mrow, lrow, g,
-                    block_q: int, block_k: int):
+                    block_q: int, block_k: int, prec: str = "default"):
     bh, n, d = q.shape
     scale = d ** -0.5
     g = g.astype(jnp.float32)
@@ -251,7 +267,7 @@ def _flash_backward(q, k, v, mask, o, mrow, lrow, g,
                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        partial(_dq_kernel, scale=scale),
+        partial(_dq_kernel, scale=scale, prec=prec),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
         grid=(bh, pl.cdiv(n, block_q), pl.cdiv(n, block_k)),
         in_specs=[q_spec, k_spec, k_spec, mask_spec, q_spec, row_spec,
@@ -274,7 +290,7 @@ def _flash_backward(q, k, v, mask, o, mrow, lrow, g,
     kq_row_spec = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
                                memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        partial(_dkv_kernel, scale=scale),
+        partial(_dkv_kernel, scale=scale, prec=prec),
         out_shape=[jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
                    jax.ShapeDtypeStruct((bh, n, d), jnp.float32)],
         grid=(bh, pl.cdiv(n, block_k), pl.cdiv(n, block_q)),
@@ -300,21 +316,21 @@ def _attention_xla(q, k, v, mask):
     return jnp.einsum("bnm,bmd->bnd", p, v)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, mask, block_q, block_k):
-    out, _, _ = _flash_forward(q, k, v, mask, block_q, block_k)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, mask, block_q, block_k, prec):
+    out, _, _ = _flash_forward(q, k, v, mask, block_q, block_k, prec)
     return out
 
 
-def _flash_fwd(q, k, v, mask, block_q, block_k):
-    out, mrow, lrow = _flash_forward(q, k, v, mask, block_q, block_k)
+def _flash_fwd(q, k, v, mask, block_q, block_k, prec):
+    out, mrow, lrow = _flash_forward(q, k, v, mask, block_q, block_k, prec)
     return out, (q, k, v, mask, out, mrow, lrow)
 
 
-def _flash_bwd(block_q, block_k, res, g):
+def _flash_bwd(block_q, block_k, prec, res, g):
     q, k, v, mask, o, mrow, lrow = res
     dq, dk, dv = _flash_backward(q, k, v, mask, o, mrow, lrow, g,
-                                 block_q, block_k)
+                                 block_q, block_k, prec)
     return dq, dk, dv, None
 
 
@@ -322,11 +338,17 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, mask=None, block_q: int = 512,
-                    block_k: int = 512):
+                    block_k: int = 512, precision: str = "default"):
     """Masked multi-head attention, O(N*D) HBM traffic (fwd AND bwd).
 
     q/k/v: [B, H, N, D] float32; mask: [B, N] bool or None.
     Returns [B, H, N, D].
+
+    ``precision``: MXU multiply precision for every dot in the kernels
+    (accumulation is always f32 scratch).  "default" = native bf16-ish
+    multiplies (matches the XLA path's default); "highest" = f32-exact
+    multiplies via multi-pass bf16 — use when a <=1e-3 bound vs an f32
+    oracle matters (e.g. long-N training gradients).
     """
     b, h, n, d = q.shape
     if mask is None:
@@ -358,5 +380,6 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
     def flat(t):
         return t.reshape(b * h, n_pad, d).astype(jnp.float32)
 
-    out = _flash(flat(q), flat(k), flat(v), m32, block_q, block_k)
+    out = _flash(flat(q), flat(k), flat(v), m32, block_q, block_k,
+                 precision)
     return out.reshape(b, h, n_pad, d)[:, :, :n]

@@ -21,16 +21,31 @@ from edsnet_tpu.models.performer import Performer
 BASE_MODELS = ("linear", "lstm", "bilstm", "gcn", "attention",
                "nystromformer", "fourier", "linformer", "performer", "dwt")
 
-_USE_PALLAS = False
+# tri-state: None = auto (flash ON for deterministic N >= 2048 at
+# "highest" kernel precision — <=1e-3 vs the f32 oracle); True =
+# --use-pallas (ON from N >= 1024, "default" MXU precision, the
+# benchmarked 3.5x config); False = --no-pallas (always the XLA path)
+_USE_PALLAS = None
 _CONTEXT_PARALLEL = 0
 _CP_MIN_LEN = 1024
+_PALLAS_AUTO_MIN_LEN = 2048
 
 
-def set_use_pallas(enabled: bool) -> None:
+def set_use_pallas(enabled) -> None:
     """Route the attention backbone's deterministic path through the
-    Pallas flash-attention kernel (--use-pallas)."""
+    Pallas flash-attention kernel (--use-pallas / --no-pallas); None
+    restores the auto default (on from N >= 2048, highest precision)."""
     global _USE_PALLAS
-    _USE_PALLAS = bool(enabled)
+    _USE_PALLAS = enabled if enabled is None else bool(enabled)
+
+
+def _pallas_config():
+    """(use_pallas, min_len, precision) for the attention backbone."""
+    if _USE_PALLAS is None:
+        return True, _PALLAS_AUTO_MIN_LEN, "highest"
+    if _USE_PALLAS:
+        return True, 1024, "default"
+    return False, 1024, "default"
 
 
 def set_context_parallel(num_devices: int, min_len: int = 1024) -> None:
@@ -65,8 +80,11 @@ def build_base_model(base_type: str, num_feature: int, num_head: int,
     if base_type == "gcn":
         return GCNExtractor(num_feature, name=name)
     if base_type == "attention":
+        use_pallas, min_len, prec = _pallas_config()
         return AttentionExtractor(num_head, num_feature,
-                                  use_pallas=_USE_PALLAS,
+                                  use_pallas=use_pallas,
+                                  pallas_min_len=min_len,
+                                  pallas_precision=prec,
                                   context_parallel=_CONTEXT_PARALLEL,
                                   cp_min_len=_CP_MIN_LEN, name=name)
     if base_type == "nystromformer":

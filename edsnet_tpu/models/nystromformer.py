@@ -95,15 +95,29 @@ def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
         lengths = jnp.sum(mask.astype(jnp.int32), axis=-1)        # [B]
         l_v = jnp.maximum(-(-lengths // m), 1)                    # [B]
         pad_v = l_v * m - lengths                                 # [B]
-        t_ax = jnp.arange(L)
-        g_of_t = (t_ax[None, :] + pad_v[:, None]) // l_v[:, None]  # [B, L]
-        assign = (g_of_t[:, None, :] == jnp.arange(m)[None, :, None]) \
-            & mask[:, None, :]
-        assign = assign.astype(q.dtype)                           # [B,m,L]
+        # Landmark groups are CONTIGUOUS time ranges per video (group g
+        # covers t in [g*l_v - pad, (g+1)*l_v - pad)), so the group sums
+        # are differences of a prefix sum at m+1 boundary positions — an
+        # O(B*H*L*D) cumsum + an m-row gather per video — instead of the
+        # round-3 [B,m,L] one-hot einsum, whose fwd+bwd one-hot
+        # contractions dominated the step's superlinear batch scaling
+        # (2.04 -> 26.8 ms for B 8 -> 64 at N=512).  Front-pad-only
+        # groups clip to an empty [0,0) range = zero vector, matching the
+        # reference's zero front-pad rows (nystroformer.py:72-78);
+        # rows past the true length are already masked to zero in q/k.
+        g_ax = jnp.arange(m + 1, dtype=jnp.int32)
+        bounds = jnp.clip(g_ax[None, :] * l_v[:, None] - pad_v[:, None],
+                          0, L)                                   # [B, m+1]
         inv_l = (1.0 / l_v.astype(q.dtype))[:, None, None, None]
 
-        q_l = jnp.einsum("bmt,bhtd->bhmd", assign, q) * inv_l
-        k_l = jnp.einsum("bmt,bhtd->bhmd", assign, k) * inv_l
+        def group_means(t):                                       # [B,H,L,D]
+            cs = jnp.cumsum(t, axis=2)
+            cs = jnp.pad(cs, ((0, 0), (0, 0), (1, 0), (0, 0)))    # [B,H,L+1,D]
+            picked = jnp.take_along_axis(
+                cs, bounds[:, None, :, None], axis=2)             # [B,H,m+1,D]
+            return (picked[:, :, 1:] - picked[:, :, :-1]) * inv_l
+
+        q_l, k_l = group_means(q), group_means(k)
 
         sim1 = jnp.einsum("bhid,bhjd->bhij", q, k_l)     # [B,H,L,m]
         sim2 = jnp.einsum("bhid,bhjd->bhij", q_l, k_l)   # [B,H,m,m]

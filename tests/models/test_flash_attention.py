@@ -157,3 +157,61 @@ def test_flash_backward_fully_masked_row(n, real):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"d{name}")
+
+
+def test_flash_highest_precision_matches_oracle():
+    """precision="highest" (the auto-default's kernel config) stays exact
+    in interpret mode, forward and backward."""
+    q, k, v = _qkv(n=160)
+    mask = jnp.asarray(np.arange(160)[None, :] < np.array([160, 123])[:, None])
+    out = flash_attention(q, k, v, mask, block_q=64, block_k=64,
+                          precision="highest")
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_oracle(q, k, v, mask)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, block_q=64,
+                                       block_k=64,
+                                       precision="highest") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_oracle(q, k, v, mask) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_auto_default_routing():
+    """Unset --use-pallas: attention routes deterministic N>=2048 through
+    flash at 'highest' precision; --use-pallas lowers the threshold at
+    'default' precision; --no-pallas disables."""
+    from edsnet_tpu.models import base as base_mod
+
+    prev = base_mod._USE_PALLAS
+    try:
+        base_mod.set_use_pallas(None)
+        m = base_mod.build_base_model("attention", 64, 4)
+        assert (m.use_pallas, m.pallas_min_len, m.pallas_precision) == \
+            (True, 2048, "highest")
+
+        base_mod.set_use_pallas(True)
+        m = base_mod.build_base_model("attention", 64, 4)
+        assert (m.use_pallas, m.pallas_min_len, m.pallas_precision) == \
+            (True, 1024, "default")
+
+        base_mod.set_use_pallas(False)
+        m = base_mod.build_base_model("attention", 64, 4)
+        assert m.use_pallas is False
+    finally:
+        base_mod.set_use_pallas(prev)
+
+
+def test_cli_pallas_tristate():
+    from edsnet_tpu.config import get_arguments
+    assert get_arguments(["anchor-based"]).use_pallas is None
+    assert get_arguments(["anchor-based", "--use-pallas"]).use_pallas is True
+    assert get_arguments(["anchor-based", "--no-pallas"]).use_pallas is False

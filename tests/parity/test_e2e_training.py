@@ -126,11 +126,12 @@ def _reference_ab_run(ref, records, val_records, *, seed=0,
 
 
 def _reference_af_run(ref, records, val_records, *, seed=0, fc_depth=1,
-                      heads=2, lr=3e-3, epochs=300, eval_every=10):
+                      heads=2, lr=3e-3, epochs=300, eval_every=10,
+                      base_model="linear"):
     """The reference AF trainer loop, reimplemented step-for-step
     (anchor_free/train.py:50-112)."""
     torch.manual_seed(seed)
-    model = ref.af_dsnet.DSNetAF("linear", FEAT, HIDDEN, heads,
+    model = ref.af_dsnet.DSNetAF(base_model, FEAT, HIDDEN, heads,
                                  fc_depth=fc_depth, orientation="paper")
     _ref_init(model)
     optimizer = torch.optim.Adam(model.parameters(), lr=lr,

@@ -10,6 +10,7 @@ when fetch_weights caches the real torchvision file, the converted flax
 model reproduces the reference feature contract on the TPU.
 """
 import numpy as np
+import pytest
 import torch
 from torch import nn
 
@@ -125,3 +126,60 @@ def test_flax_googlenet_matches_torch_random_weights():
 
     assert got.shape == want.shape == (2, 1024)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def _real_weights_cached() -> bool:
+    """True only when the REAL torchvision googlenet checkpoint is in the
+    hub cache (sha256-verified — a test-fabricated .pth never matches)."""
+    import hashlib
+
+    from edsnet_tpu.fetch_weights import WEIGHTS, cached_path
+    path = cached_path("google-net")
+    if not path.exists():
+        return False
+    digest = hashlib.sha256(path.read_bytes()).hexdigest()
+    return digest.startswith(WEIGHTS["google-net"]["sha256_prefix"])
+
+
+@pytest.mark.skipif(not _real_weights_cached(),
+                    reason="real googlenet-1378be20.pth not in the hub "
+                           "cache; run `python -m edsnet_tpu.fetch_weights`"
+                           " on a networked machine")
+def test_flax_googlenet_matches_torch_with_real_weights():
+    """The 1024-d feature contract with the RELEASED weights
+    (video_helper.py:62-73): flax pool5 features == the torch oracle
+    loaded from the same checkpoint, <=1e-4."""
+    from edsnet_tpu.fetch_weights import cached_path
+
+    sd = torch.load(cached_path("google-net"), map_location="cpu",
+                    weights_only=True)
+    model_t = GoogLeNetPool5Torch()
+    missing, unexpected = model_t.load_state_dict(sd, strict=False)
+    assert not missing, missing      # every pool5 key must be in the ckpt
+    model_t.eval()
+
+    # deterministic natural-image-like input (smooth gradients + texture)
+    yy, xx = np.mgrid[0:224, 0:224].astype(np.float32) / 224.0
+    rng = np.random.RandomState(0)
+    img = np.stack([yy, xx, 0.5 * (xx + yy)], 0)[None] \
+        + 0.1 * rng.rand(1, 3, 224, 224).astype(np.float32)
+    x = torch.from_numpy(img)
+    with torch.no_grad():
+        want = model_t(x).numpy()
+
+    variables = convert_torch_state_dict(sd)
+    got = np.asarray(GoogLeNetPool5().apply(
+        variables, np.asarray(img.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # and the end-user surface: FeatureExtractor produces the reference's
+    # 1024-d L2-normalized per-frame feature from the cached weights
+    from edsnet_tpu.data.video import FeatureExtractor, \
+        _FlaxGoogLeNetExtractor
+    fe = FeatureExtractor("google-net")
+    assert isinstance(fe._impl, _FlaxGoogLeNetExtractor)
+    frame = (np.random.RandomState(1).rand(360, 480, 3) * 255).astype(
+        np.uint8)
+    feat = fe.run(frame)
+    assert feat.shape == (1024,)
+    assert abs(float(np.linalg.norm(feat)) - 1.0) < 1e-4
