@@ -104,6 +104,42 @@ class _FlaxGoogLeNetExtractor:
         return feat / (np.linalg.norm(feat) + 1e-10)
 
 
+class _FlaxConvNeXtExtractor:
+    """Device-side ConvNeXt-Base (models/convnext.py), same pattern as
+    the flax GoogLeNet path: host PIL preprocessing, the CNN as one
+    jitted program on the accelerator; torch only reads the cached
+    checkpoint (weights_only=True), torchvision is NOT required."""
+
+    def __init__(self):
+        from edsnet_tpu.fetch_weights import cached_path
+        from edsnet_tpu.models.convnext import (ConvNeXtBaseFeatures,
+                                                convert_torch_state_dict)
+        from edsnet_tpu.models.googlenet import preprocess_frame
+
+        path = cached_path("convnext")
+        if not path.exists():
+            raise FileNotFoundError(
+                f"no cached ConvNeXt weights at {path}; run `python -m "
+                f"edsnet_tpu.fetch_weights --models convnext` first")
+        try:
+            import torch
+        except ImportError as e:
+            raise RuntimeError(
+                f"cached ConvNeXt weights found at {path}, but torch is "
+                f"required to read the .pth checkpoint") from e
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        import jax
+
+        self._variables = convert_torch_state_dict(sd)
+        self._apply = jax.jit(ConvNeXtBaseFeatures().apply)
+        self._preprocess = preprocess_frame
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        feat = np.asarray(
+            self._apply(self._variables, self._preprocess(img)[None]))[0]
+        return feat / (np.linalg.norm(feat) + 1e-10)
+
+
 class _RandomProjectionExtractor:
     """Deterministic test extractor: 1024-d projection of 32x32 grayscale."""
 
@@ -127,11 +163,13 @@ class FeatureExtractor:
         if feature_extractor == "random":
             self._impl = _RandomProjectionExtractor()
             return
-        if feature_extractor == "google-net":
+        flax_impls = {"google-net": _FlaxGoogLeNetExtractor,
+                      "convnext": _FlaxConvNeXtExtractor}
+        if feature_extractor in flax_impls:
             # prefer the device-side flax network when the checkpoint is
             # cached (no torchvision needed); fall back to torchvision
             try:
-                self._impl = _FlaxGoogLeNetExtractor()
+                self._impl = flax_impls[feature_extractor]()
                 return
             except FileNotFoundError:
                 # no cached checkpoint: fall through to torchvision / the
