@@ -140,6 +140,41 @@ class _FlaxConvNeXtExtractor:
         return feat / (np.linalg.norm(feat) + 1e-10)
 
 
+class _FlaxSwinExtractor:
+    """Device-side Swin-V2-B (models/swin.py); same pattern as the flax
+    GoogLeNet/ConvNeXt paths."""
+
+    def __init__(self):
+        from edsnet_tpu.fetch_weights import cached_path
+        from edsnet_tpu.models.googlenet import preprocess_frame
+        from edsnet_tpu.models.swin import (SwinV2BFeatures,
+                                            convert_torch_state_dict)
+
+        path = cached_path("swin-transformer")
+        if not path.exists():
+            raise FileNotFoundError(
+                f"no cached Swin-V2-B weights at {path}; run `python -m "
+                f"edsnet_tpu.fetch_weights --models swin-transformer` "
+                f"first")
+        try:
+            import torch
+        except ImportError as e:
+            raise RuntimeError(
+                f"cached Swin weights found at {path}, but torch is "
+                f"required to read the .pth checkpoint") from e
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        import jax
+
+        self._variables = convert_torch_state_dict(sd)
+        self._apply = jax.jit(SwinV2BFeatures().apply)
+        self._preprocess = preprocess_frame
+
+    def run(self, img: np.ndarray) -> np.ndarray:
+        feat = np.asarray(
+            self._apply(self._variables, self._preprocess(img)[None]))[0]
+        return feat / (np.linalg.norm(feat) + 1e-10)
+
+
 class _RandomProjectionExtractor:
     """Deterministic test extractor: 1024-d projection of 32x32 grayscale."""
 
@@ -164,7 +199,8 @@ class FeatureExtractor:
             self._impl = _RandomProjectionExtractor()
             return
         flax_impls = {"google-net": _FlaxGoogLeNetExtractor,
-                      "convnext": _FlaxConvNeXtExtractor}
+                      "convnext": _FlaxConvNeXtExtractor,
+                      "swin-transformer": _FlaxSwinExtractor}
         if feature_extractor in flax_impls:
             # prefer the device-side flax network when the checkpoint is
             # cached (no torchvision needed); fall back to torchvision
