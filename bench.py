@@ -504,20 +504,34 @@ def main():
             continue
         # device is live: run the measurement in a child so a mid-run
         # wedge cannot hang this process (the driver) forever
+        run_timeout = min(measure_timeout_s,
+                          max(deadline - time.monotonic(), 60.0) + 120.0)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure"],
-                capture_output=True, text=True, timeout=measure_timeout_s)
+                capture_output=True, text=True, timeout=run_timeout)
         except subprocess.TimeoutExpired:
-            failures.append(f"measure-timeout({int(measure_timeout_s)}s)")
+            failures.append(f"measure-timeout({int(run_timeout)}s)")
             continue
         result = _parse_result_line(out.stdout)
         if result is not None and result.get("value", 0) > 0:
-            _save_cache(result)
+            try:
+                _save_cache(result)
+            except Exception:
+                pass   # a cache-write failure must never cost the result
             print(json.dumps(result))
             return
         tail = (out.stderr or out.stdout or "").strip().splitlines()
         failures.append("measure-failed: " + "; ".join(tail[-2:])[:200])
+        if out.returncode != 0 and _device_responsive(probe_timeout_s):
+            # the device is alive but the measurement itself crashes:
+            # that's a bench/code regression a stale number must not hide
+            print(json.dumps({
+                "metric": "frames_scored_per_sec", "value": 0,
+                "unit": "frames/s", "vs_baseline": 0,
+                "error": "measurement crashed on a responsive device: "
+                         + "; ".join(tail[-4:])[:400]}))
+            sys.exit(1)
         time.sleep(min(probe_retry_sleep_s,
                        max(deadline - time.monotonic(), 0)))
 

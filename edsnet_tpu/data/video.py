@@ -62,40 +62,45 @@ class _TorchvisionExtractor:
         return feat / (np.linalg.norm(feat) + 1e-10)
 
 
-class _FlaxGoogLeNetExtractor:
-    """Device-side GoogLeNet-pool5 (models/googlenet.py): PIL
-    preprocessing on the host, the CNN as one jitted program on the
-    accelerator.  Needs torch only to read the cached torchvision
-    checkpoint (weights_only=True — data, not pickled code); torchvision
-    itself is NOT required."""
+class _FlaxCheckpointExtractor:
+    """Device-side feature CNN from a cached torchvision checkpoint: PIL
+    preprocessing on the host, the network as one jitted program on the
+    accelerator.  Needs torch only to read the cached .pth
+    (weights_only=True — data, not pickled code); torchvision itself is
+    NOT required.  Subclasses pin (weights_key, flax module, converter).
+    """
+
+    weights_key: str = ""            # fetch_weights.WEIGHTS key
+
+    def _module_and_converter(self):
+        raise NotImplementedError
 
     def __init__(self):
         from edsnet_tpu.fetch_weights import cached_path
-        from edsnet_tpu.models.googlenet import (GoogLeNetPool5,
-                                                 convert_torch_state_dict,
-                                                 preprocess_frame)
+        from edsnet_tpu.models.googlenet import preprocess_frame
 
-        path = cached_path("google-net")
+        path = cached_path(self.weights_key)
         if not path.exists():
             raise FileNotFoundError(
-                f"no cached GoogLeNet weights at {path}; run "
-                f"`python -m edsnet_tpu.fetch_weights` first")
+                f"no cached {self.weights_key} weights at {path}; run "
+                f"`python -m edsnet_tpu.fetch_weights --models "
+                f"{self.weights_key}` first")
         try:
             import torch
         except ImportError as e:
             # distinct from the no-checkpoint case: re-running
             # fetch_weights cannot help here
             raise RuntimeError(
-                f"cached GoogLeNet weights found at {path}, but torch is "
-                f"required to read the .pth checkpoint (weights_only "
-                f"deserialization); install torch or pass "
+                f"cached {self.weights_key} weights found at {path}, but "
+                f"torch is required to read the .pth checkpoint "
+                f"(weights_only deserialization); install torch or pass "
                 f"feature_extractor='random'") from e
         sd = torch.load(path, map_location="cpu", weights_only=True)
         import jax
 
-        self._variables = convert_torch_state_dict(sd)
-        model = GoogLeNetPool5()
-        self._apply = jax.jit(model.apply)
+        module, convert = self._module_and_converter()
+        self._variables = convert(sd)
+        self._apply = jax.jit(module.apply)
         self._preprocess = preprocess_frame
 
     def run(self, img: np.ndarray) -> np.ndarray:
@@ -104,75 +109,34 @@ class _FlaxGoogLeNetExtractor:
         return feat / (np.linalg.norm(feat) + 1e-10)
 
 
-class _FlaxConvNeXtExtractor:
-    """Device-side ConvNeXt-Base (models/convnext.py), same pattern as
-    the flax GoogLeNet path: host PIL preprocessing, the CNN as one
-    jitted program on the accelerator; torch only reads the cached
-    checkpoint (weights_only=True), torchvision is NOT required."""
+class _FlaxGoogLeNetExtractor(_FlaxCheckpointExtractor):
+    """GoogLeNet-pool5 (models/googlenet.py)."""
+    weights_key = "google-net"
 
-    def __init__(self):
-        from edsnet_tpu.fetch_weights import cached_path
+    def _module_and_converter(self):
+        from edsnet_tpu.models.googlenet import (GoogLeNetPool5,
+                                                 convert_torch_state_dict)
+        return GoogLeNetPool5(), convert_torch_state_dict
+
+
+class _FlaxConvNeXtExtractor(_FlaxCheckpointExtractor):
+    """ConvNeXt-Base (models/convnext.py)."""
+    weights_key = "convnext"
+
+    def _module_and_converter(self):
         from edsnet_tpu.models.convnext import (ConvNeXtBaseFeatures,
                                                 convert_torch_state_dict)
-        from edsnet_tpu.models.googlenet import preprocess_frame
-
-        path = cached_path("convnext")
-        if not path.exists():
-            raise FileNotFoundError(
-                f"no cached ConvNeXt weights at {path}; run `python -m "
-                f"edsnet_tpu.fetch_weights --models convnext` first")
-        try:
-            import torch
-        except ImportError as e:
-            raise RuntimeError(
-                f"cached ConvNeXt weights found at {path}, but torch is "
-                f"required to read the .pth checkpoint") from e
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        import jax
-
-        self._variables = convert_torch_state_dict(sd)
-        self._apply = jax.jit(ConvNeXtBaseFeatures().apply)
-        self._preprocess = preprocess_frame
-
-    def run(self, img: np.ndarray) -> np.ndarray:
-        feat = np.asarray(
-            self._apply(self._variables, self._preprocess(img)[None]))[0]
-        return feat / (np.linalg.norm(feat) + 1e-10)
+        return ConvNeXtBaseFeatures(), convert_torch_state_dict
 
 
-class _FlaxSwinExtractor:
-    """Device-side Swin-V2-B (models/swin.py); same pattern as the flax
-    GoogLeNet/ConvNeXt paths."""
+class _FlaxSwinExtractor(_FlaxCheckpointExtractor):
+    """Swin-V2-B (models/swin.py)."""
+    weights_key = "swin-transformer"
 
-    def __init__(self):
-        from edsnet_tpu.fetch_weights import cached_path
-        from edsnet_tpu.models.googlenet import preprocess_frame
+    def _module_and_converter(self):
         from edsnet_tpu.models.swin import (SwinV2BFeatures,
                                             convert_torch_state_dict)
-
-        path = cached_path("swin-transformer")
-        if not path.exists():
-            raise FileNotFoundError(
-                f"no cached Swin-V2-B weights at {path}; run `python -m "
-                f"edsnet_tpu.fetch_weights --models swin-transformer` "
-                f"first")
-        try:
-            import torch
-        except ImportError as e:
-            raise RuntimeError(
-                f"cached Swin weights found at {path}, but torch is "
-                f"required to read the .pth checkpoint") from e
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        import jax
-
-        self._variables = convert_torch_state_dict(sd)
-        self._apply = jax.jit(SwinV2BFeatures().apply)
-        self._preprocess = preprocess_frame
-
-    def run(self, img: np.ndarray) -> np.ndarray:
-        feat = np.asarray(
-            self._apply(self._variables, self._preprocess(img)[None]))[0]
-        return feat / (np.linalg.norm(feat) + 1e-10)
+        return SwinV2BFeatures(), convert_torch_state_dict
 
 
 class _RandomProjectionExtractor:

@@ -73,19 +73,22 @@ class KnapsackAudit:
         self.abs_df: List[float] = []
         self.available = _native_load() is not None
 
-    def check(self, record, kept_cls, kept_boxes, eval_metric: str) -> None:
+    def check(self, record, kept_cls, kept_boxes, eval_metric: str,
+              pred_summ: np.ndarray) -> None:
+        """Compare the SHIPPED summary (``pred_summ``, already computed by
+        the caller with the default solver) against the forced-B&B
+        selection — one extra solve per video, not three."""
         if not self.available:
             return
         self.n_videos += 1
         seq_len = record.seq.shape[0]
-        args = (seq_len, kept_cls, kept_boxes, record.cps, record.n_frames,
-                record.nfps, record.picks)
-        summ_dp = summ_ops.bbox2summary(*args, solver="dp")
-        summ_bnb = summ_ops.bbox2summary(*args, solver="bnb")
-        if np.array_equal(summ_dp, summ_bnb):
+        summ_bnb = summ_ops.bbox2summary(
+            seq_len, kept_cls, kept_boxes, record.cps, record.n_frames,
+            record.nfps, record.picks, solver="bnb")
+        if np.array_equal(pred_summ, summ_bnb):
             return
         self.n_diverged += 1
-        f_dp = summ_ops.get_summ_f1score(summ_dp, record.user_summary,
+        f_dp = summ_ops.get_summ_f1score(pred_summ, record.user_summary,
                                          eval_metric)
         f_bnb = summ_ops.get_summ_f1score(summ_bnb, record.user_summary,
                                           eval_metric)
@@ -150,7 +153,7 @@ def evaluate(model, variables, val_records: List, nms_thresh: float,
             eval_metric = "avg" if "tvsum" in record.key else "max"
             if knapsack_audit is not None:
                 knapsack_audit.check(record, kept_cls, kept_boxes,
-                                     eval_metric)
+                                     eval_metric, pred_summ)
             fscore = summ_ops.get_summ_f1score(
                 pred_summ, record.user_summary, eval_metric)
             down = summ_ops.downsample_summ(pred_summ)[:seq_len]

@@ -40,9 +40,17 @@ def set_use_pallas(enabled) -> None:
 
 
 def _pallas_config():
-    """(use_pallas, min_len, precision) for the attention backbone."""
+    """(use_pallas, min_len, precision) for the attention backbone.
+
+    The auto default only engages on a real TPU backend: elsewhere the
+    kernel would run in the Pallas INTERPRETER (kernels/flash_attention.
+    _interpret) — numerically exact but far slower than the XLA path it
+    replaces.  --use-pallas still forces it anywhere (tests exercise the
+    interpreter on CPU deliberately)."""
     if _USE_PALLAS is None:
-        return True, _PALLAS_AUTO_MIN_LEN, "highest"
+        import jax
+        on_tpu = jax.default_backend() == "tpu"
+        return on_tpu, _PALLAS_AUTO_MIN_LEN, "highest"
     if _USE_PALLAS:
         return True, 1024, "default"
     return False, 1024, "default"

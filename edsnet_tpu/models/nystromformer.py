@@ -108,14 +108,19 @@ def nystrom_core_jnp(q, k, v, mask, num_landmarks: int,
         g_ax = jnp.arange(m + 1, dtype=jnp.int32)
         bounds = jnp.clip(g_ax[None, :] * l_v[:, None] - pad_v[:, None],
                           0, L)                                   # [B, m+1]
-        inv_l = (1.0 / l_v.astype(q.dtype))[:, None, None, None]
+        inv_l = (1.0 / l_v.astype(jnp.float32))[:, None, None, None]
 
         def group_means(t):                                       # [B,H,L,D]
-            cs = jnp.cumsum(t, axis=2)
+            # accumulate in f32: a bf16 cumsum (under --compute-dtype
+            # bfloat16) would carry ~2^-8*sqrt(L) relative error into the
+            # landmark means; the one-hot einsum it replaced accumulated
+            # on the MXU in f32
+            cs = jnp.cumsum(t.astype(jnp.float32), axis=2)
             cs = jnp.pad(cs, ((0, 0), (0, 0), (1, 0), (0, 0)))    # [B,H,L+1,D]
             picked = jnp.take_along_axis(
                 cs, bounds[:, None, :, None], axis=2)             # [B,H,m+1,D]
-            return (picked[:, :, 1:] - picked[:, :, :-1]) * inv_l
+            means = (picked[:, :, 1:] - picked[:, :, :-1]) * inv_l
+            return means.astype(t.dtype)
 
         q_l, k_l = group_means(q), group_means(k)
 

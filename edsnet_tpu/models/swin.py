@@ -64,17 +64,17 @@ def _relative_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)                                       # [N, N]
 
 
-def _shift_attn_mask(pad_h: int, pad_w: int, ws: int,
-                     shift: int) -> np.ndarray:
+def _shift_attn_mask(pad_h: int, pad_w: int, ws: int, shift_h: int,
+                     shift_w: int) -> np.ndarray:
     """[num_windows, ws*ws, ws*ws] additive mask (0 or -100) separating
     the wrapped regions after the cyclic shift (torchvision
-    shifted_window_attention)."""
+    shifted_window_attention; shift may be zero on one axis only)."""
     region = np.zeros((pad_h, pad_w), np.float32)
     cnt = 0
-    for hs in ((0, pad_h - ws), (pad_h - ws, pad_h - shift),
-               (pad_h - shift, pad_h)):
-        for ws_ in ((0, pad_w - ws), (pad_w - ws, pad_w - shift),
-                    (pad_w - shift, pad_w)):
+    for hs in ((0, pad_h - ws), (pad_h - ws, pad_h - shift_h),
+               (pad_h - shift_h, pad_h)):
+        for ws_ in ((0, pad_w - ws), (pad_w - ws, pad_w - shift_w),
+                    (pad_w - shift_w, pad_w)):
             region[hs[0]:hs[1], ws_[0]:ws_[1]] = cnt
             cnt += 1
     region = region.reshape(pad_h // ws, ws, pad_w // ws, ws)
@@ -117,11 +117,13 @@ class ShiftedWindowAttentionV2(nn.Module):
         pad_r = (ws - w % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_b_), (0, pad_r), (0, 0)))
         ph, pw = h + pad_b_, w + pad_r
-        shift = self.shift
-        if ws >= ph and ws >= pw:
-            shift = 0
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        # torchvision clamps the shift PER AXIS when the window covers
+        # that padded dimension
+        shift_h = 0 if ws >= ph else self.shift
+        shift_w = 0 if ws >= pw else self.shift
+        shifted = shift_h + shift_w > 0
+        if shifted:
+            x = jnp.roll(x, (-shift_h, -shift_w), axis=(1, 2))
 
         nh, nw = ph // ws, pw // ws
         nwin = nh * nw
@@ -151,8 +153,9 @@ class ShiftedWindowAttentionV2(nn.Module):
         bias = 16.0 * nn.sigmoid(bias.transpose(2, 0, 1))    # [H, n, n]
         attn = attn + bias[None]
 
-        if shift > 0:
-            mask = jnp.asarray(_shift_attn_mask(ph, pw, ws, shift))
+        if shifted:
+            mask = jnp.asarray(
+                _shift_attn_mask(ph, pw, ws, shift_h, shift_w))
             attn = attn.reshape(b, nwin, self.num_heads, n, n)
             attn = attn + mask[None, :, None]
             attn = attn.reshape(b * nwin, self.num_heads, n, n)
@@ -163,8 +166,8 @@ class ShiftedWindowAttentionV2(nn.Module):
 
         out = out.reshape(b, nh, nw, ws, ws, c)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, c)
-        if shift > 0:
-            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        if shifted:
+            out = jnp.roll(out, (shift_h, shift_w), axis=(1, 2))
         return out[:, :h, :w]
 
 

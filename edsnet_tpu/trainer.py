@@ -253,6 +253,15 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             logger.info(f"epoch {epoch} {verb} in {time_list[-1]:.2f}s")
 
         eval_every = max(getattr(args, "eval_every", 1), 1)
+        save_every = getattr(args, "state_save_every", 0)
+        if (async_best and getattr(args, "resume", False) and save_every > 0
+                and (epoch + 1) % save_every == 0):
+            # opt-in tighter crash-replay window: persist the train state
+            # every N epochs REGARDLESS of the eval/logging cadence
+            # (costs a host sync)
+            ckpt_lib.save_train_state(
+                state, epoch + 1, float(best_f_dev), state_path,
+                np_rng=rng, step_rng=step_rng)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
             continue
         variables = {"params": state.params, **(state.constants or {})}
@@ -298,14 +307,6 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                     ckpt_lib.save_train_state(
                         state, epoch + 1, best_f, state_path,
                         np_rng=rng, step_rng=step_rng)
-            elif (getattr(args, "resume", False)
-                  and getattr(args, "state_save_every", 0) > 0
-                  and (epoch + 1) % args.state_save_every == 0):
-                # opt-in tighter crash-replay window: persist the train
-                # state between logging epochs too (costs a host sync)
-                ckpt_lib.save_train_state(
-                    state, epoch + 1, float(best_f_dev), state_path,
-                    np_rng=rng, step_rng=step_rng)
             continue
 
         # synchronous host path (--host-eval)

@@ -191,12 +191,18 @@ def test_pallas_auto_default_routing():
     'default' precision; --no-pallas disables."""
     from edsnet_tpu.models import base as base_mod
 
+    import jax
+
     prev = base_mod._USE_PALLAS
     try:
         base_mod.set_use_pallas(None)
         m = base_mod.build_base_model("attention", 64, 4)
+        # auto engages only on a real TPU backend (elsewhere the kernel
+        # would run in the slow Pallas interpreter); the config it would
+        # ship there is (N>=2048, highest precision)
+        on_tpu = jax.default_backend() == "tpu"
         assert (m.use_pallas, m.pallas_min_len, m.pallas_precision) == \
-            (True, 2048, "highest")
+            (on_tpu, 2048, "highest")
 
         base_mod.set_use_pallas(True)
         m = base_mod.build_base_model("attention", 64, 4)

@@ -62,9 +62,12 @@ def test_audit_counts_divergence(monkeypatch):
     record = _record()
     kept_cls = np.array([0.9, 0.5], np.float32)
     kept_boxes = np.array([[0, 8], [10, 18]], np.int32)
+    pred_summ = summ_ops.bbox2summary(
+        record.seq.shape[0], kept_cls, kept_boxes, record.cps,
+        record.n_frames, record.nfps, record.picks)
 
     # same selection both ways -> no divergence
-    audit.check(record, kept_cls, kept_boxes, "avg")
+    audit.check(record, kept_cls, kept_boxes, "avg", pred_summ)
     assert (audit.n_videos, audit.n_diverged) == (1, 0)
 
     # force a tie flip: dp picks shot 0, bnb picks shot 1
@@ -77,7 +80,7 @@ def test_audit_counts_divergence(monkeypatch):
         return real_knapsack(values, weights, capacity, solver=solver)
 
     monkeypatch.setattr(summ_ops, "knapsack", flipped)
-    audit.check(record, kept_cls, kept_boxes, "avg")
+    audit.check(record, kept_cls, kept_boxes, "avg", pred_summ)
     assert (audit.n_videos, audit.n_diverged) == (2, 1)
     assert len(audit.abs_df) == 1 and audit.abs_df[0] >= 0.0
     assert "1/2 videos diverged" in audit.report()
@@ -87,7 +90,8 @@ def test_audit_unavailable_reports_skip(monkeypatch):
     import edsnet_tpu.evaluate as eval_mod
     monkeypatch.setattr(eval_mod, "_native_load", lambda: None)
     audit = KnapsackAudit()
-    audit.check(_record(), np.array([0.9]), np.array([[0, 8]]), "avg")
+    audit.check(_record(), np.array([0.9]), np.array([[0, 8]]), "avg",
+                np.zeros(300, bool))
     assert audit.n_videos == 0
     assert "unavailable" in audit.report()
 

@@ -102,3 +102,30 @@ def test_orchestrator_uses_fresh_measurement_and_refreshes_cache(
     assert res == fresh
     cached, _, _ = bench._load_cache()
     assert cached == fresh
+
+
+def test_orchestrator_surfaces_measure_crash_on_responsive_device(
+        tmp_path, monkeypatch, capsys):
+    """A crashing measurement on a LIVE device is a code regression; it
+    must be reported as a failure, never masked by the stale cache."""
+    import bench
+    monkeypatch.setattr(bench, "CACHE_PATH", tmp_path / "cache.json")
+    bench._save_cache({"metric": "frames_scored_per_sec", "value": 9.0,
+                       "unit": "frames/s", "vs_baseline": 1.0})
+    monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
+
+    class Crashed:
+        returncode = 1
+        stdout = ""
+        stderr = "Traceback ...\nValueError: boom"
+
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Crashed())
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 0
+    assert "crashed on a responsive device" in out["error"]
+    assert "stale" not in out

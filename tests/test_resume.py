@@ -194,5 +194,9 @@ def test_state_save_every_tightens_crash_window(tmp_path):
 
     # default: last state save was the logging epoch 0 (records epoch 1)
     assert run("defcad", 0) == 1
-    # knob: epochs 1-4 each persisted; crash at 5 resumes from epoch 5
-    assert run("tight", 1) == 5
+    # knob: the state is persisted every epoch BEFORE the eval/logging
+    # gate (round-4 fix: previously it only fired on eval epochs, so
+    # --eval-every M silently widened the promised N-epoch window).  The
+    # crash hits epoch 5's eval AFTER that epoch's training persisted ->
+    # resume replays nothing and restarts at epoch 6.
+    assert run("tight", 1) == 6
