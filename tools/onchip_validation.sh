@@ -1,0 +1,43 @@
+#!/bin/bash
+# One-shot on-chip validation batch: run the moment the TPU is
+# responsive (round-4 pending measurements).  Appends everything to
+# benchmarks/onchip_r4.log; safe to re-run.
+#
+#   bash tools/onchip_validation.sh
+#
+# Captures:
+#  1. bench.py headline (also refreshes benchmarks/bench_cache.json)
+#  2. train-step batch scaling B in {8,16,32,64} at N=512 (the
+#     prefix-sum landmark rework's target: B=64 within ~1.5x of linear)
+#  3. flash-attention parity + speed at both kernel precisions
+#     (certifies the <=1e-3 'highest' bound the auto-default ships)
+#  4. per-stage step breakdown
+set -uo pipefail
+cd "$(dirname "$0")/.."
+LOG=benchmarks/onchip_r4.log
+stamp() { date -u +%Y-%m-%dT%H:%M:%SZ; }
+
+echo "=== onchip validation $(stamp) commit $(git rev-parse --short HEAD) ===" >> "$LOG"
+
+echo "--- probe ---" >> "$LOG"
+if ! timeout 90 python -c "import jax, jax.numpy as jnp; (jnp.ones((64,64))@jnp.ones((64,64))).sum().block_until_ready(); print('responsive')" >> "$LOG" 2>&1; then
+    echo "TPU unresponsive at $(stamp); aborting" >> "$LOG"
+    exit 1
+fi
+
+echo "--- bench.py ---" >> "$LOG"
+timeout 2400 python bench.py >> "$LOG" 2>&1
+
+echo "--- train-step batch scaling (prefix-sum landmarks) ---" >> "$LOG"
+for b in 8 16 32 64; do
+    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 >> "$LOG" 2>&1
+done
+
+echo "--- flash parity/speed (default + highest) ---" >> "$LOG"
+timeout 900 python benchmarks/bench_flash_parity.py 2048 >> "$LOG" 2>&1
+
+echo "--- step breakdown ---" >> "$LOG"
+timeout 900 python benchmarks/bench_step_breakdown.py >> "$LOG" 2>&1 || true
+
+echo "=== done $(stamp) ===" >> "$LOG"
+tail -40 "$LOG"
