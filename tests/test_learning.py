@@ -9,7 +9,7 @@ import numpy as np
 import yaml
 
 
-def _make_learnable_h5(tmp_path, n_videos=8, feat=24):
+def _make_learnable_h5(tmp_path, n_videos=8, feat=24, n_test=4):
     import h5py
     rng = np.random.RandomState(7)
     signal = rng.randn(feat)
@@ -53,7 +53,7 @@ def _make_learnable_h5(tmp_path, n_videos=8, feat=24):
     # fit check: validate on the training videos (catches wiring bugs;
     # generalization isn't the point of this test)
     with open(split_path, "w") as f:
-        yaml.dump([{"train_keys": keys, "test_keys": keys[:4]}], f)
+        yaml.dump([{"train_keys": keys, "test_keys": keys[:n_test]}], f)
     return split_path
 
 
