@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -437,8 +438,13 @@ def _load_cache():
             return c["result"], c.get("measured_at", "unknown"), str(CACHE_PATH)
     except Exception:
         pass
+    def round_no(p):
+        m = re.search(r"r(\d+)", p.stem)
+        return int(m.group(1)) if m else -1
+
+    # numeric round order: lexicographic sort puts r9 after r10
     for p in sorted(Path(__file__).parent.glob("BENCH_r*.json"),
-                    reverse=True):
+                    key=round_no, reverse=True):
         try:
             rec = json.loads(p.read_text())
             parsed = rec.get("parsed") or {}
@@ -546,6 +552,15 @@ def main():
         stale.update({"stale": True, "stale_from": measured_at,
                       "stale_source": source, "error": error})
         print(json.dumps(stale))
+        # CONSUMER CONTRACT: a consumer reading only value/vs_baseline
+        # MUST also check "stale" — this emission is a prior measurement,
+        # not a fresh one.  Exit code stays 0 by default because the
+        # driver records nonzero rc as a failed bench (losing even the
+        # stale record); set EDSNET_BENCH_STALE_EXIT_CODE to make stale
+        # emissions distinguishable by rc alone.
+        rc = int(os.environ.get("EDSNET_BENCH_STALE_EXIT_CODE", "0"))
+        if rc:
+            sys.exit(rc)
         return
     print(json.dumps({
         "metric": "frames_scored_per_sec", "value": 0,

@@ -133,7 +133,12 @@ def prepare_items(dataset: VideoDataset, kind: str,
                   anchor_scales: Sequence[int] = (),
                   pos_iou: float = 0.6, neg_iou: float = 0.0,
                   inc_iou: float = 0.3,
-                  bucket_size: int = 64) -> List[TrainItem]:
+                  bucket_size: int = 64,
+                  need_motion: bool = True) -> List[TrainItem]:
+    """``need_motion`` is what the MODEL consumes: False drops the h5's
+    motion_features from the items so a non-motion model trains fine on a
+    motion-bearing dataset (the reference's non-motion heads never read
+    that key, src/anchor_based/train.py:110-116)."""
     items = []
     for i in range(len(dataset)):
         record = dataset[i]
@@ -143,6 +148,8 @@ def prepare_items(dataset: VideoDataset, kind: str,
         else:
             item = prepare_af_item(record, bucket_size)
         if item is not None:
+            if not need_motion:
+                item.motion = None
             items.append(item)
     return items
 

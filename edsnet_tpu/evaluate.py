@@ -197,7 +197,7 @@ def main(argv=None):
             ckpt_path = get_ckpt_path(args.model_dir, split_path, split_idx)
             variables = ckpt_lib.load_checkpoint(
                 model, ckpt_path,
-                example_input=_example_input(args, split))
+                example_input=_example_input(args, model))
 
             val_set = VideoDataset(split["test_keys"], args.data_root)
             records = [val_set[i] for i in range(len(val_set))]
@@ -234,10 +234,21 @@ def main(argv=None):
         print(msg)
 
 
-def _example_input(args, split):
+def _example_input(args, model):
+    """Template inputs for checkpoint restore; must match the model's
+    ``__call__`` signature.  Motion models (--model-depth cross-attention)
+    take ``(seq, motion, mask, motion_mask)`` — see
+    ``DSNetMotionFeatures.__call__`` — so building only ``(seq, mask)``
+    would land the mask in the motion slot (the reference CLI serves every
+    registry model, src/evaluate.py:43-63)."""
+    from edsnet_tpu.parallel.eval_device import model_needs_motion
     n = args.bucket_size
-    return (jnp.zeros((1, n, args.num_feature), jnp.float32),
-            jnp.ones((1, n), bool))
+    seq = jnp.zeros((1, n, args.num_feature), jnp.float32)
+    mask = jnp.ones((1, n), bool)
+    if model_needs_motion(model):
+        motion = jnp.zeros((1, n, 1024), jnp.float32)
+        return (seq, motion, mask, mask)
+    return (seq, mask)
 
 
 if __name__ == "__main__":

@@ -371,8 +371,14 @@ class DSNetMotionFeatures(nn.Module):
 
         dec = out
         for i in range(self.attention_depth):
+            # reference hard-codes d_model=1024 (dsnet.py:293), which only
+            # type-checks because num_feature is always 1024 there; tying
+            # d_model to num_feature is identical at 1024 and unbreaks
+            # other dims (flax cross-attention projects the motion memory
+            # from its own width, so 1024-d I3D features still work)
             dec = _CrossAttentionDecoderLayer(
-                d_model=1024, nhead=8, dim_feedforward=self.num_feature,
+                d_model=self.num_feature, nhead=8,
+                dim_feedforward=self.num_feature,
                 name=f"decoder_{i}")(dec, motion_features, mask,
                                      motion_mask, deterministic)
         out = out + dec

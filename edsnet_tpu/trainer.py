@@ -70,11 +70,13 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     model = get_model(args.model, model_depth=args.model_depth, **{
         k: v for k, v in vars(args).items() if k != "model_depth"})
 
+    from edsnet_tpu.parallel.eval_device import model_needs_motion
     train_set = VideoDataset(split["train_keys"], args.data_root)
     items = batching.prepare_items(
         train_set, args.model, anchor_scales=args.anchor_scales,
         pos_iou=args.pos_iou_thresh, neg_iou=args.neg_iou_thresh,
-        inc_iou=args.incomplete_iou_thresh, bucket_size=args.bucket_size)
+        inc_iou=args.incomplete_iou_thresh, bucket_size=args.bucket_size,
+        need_motion=model_needs_motion(model))
     skipped = len(train_set) - len(items)
     if skipped:
         logger.info(f"skipped {skipped} videos (NaN gtscore / empty target)")
@@ -88,8 +90,7 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     # eval inputs live on device across epochs (tunnel uploads are slow)
     prepared_eval = None
     if not getattr(args, "host_eval", False):
-        from edsnet_tpu.parallel.eval_device import (model_needs_motion,
-                                                     prepare_eval_batches)
+        from edsnet_tpu.parallel.eval_device import prepare_eval_batches
         prepared_eval = prepare_eval_batches(
             val_records, max(args.batch_size, 1), args.bucket_size,
             need_motion=model_needs_motion(model))
@@ -258,9 +259,19 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                 and (epoch + 1) % save_every == 0):
             # opt-in tighter crash-replay window: persist the train state
             # every N epochs REGARDLESS of the eval/logging cadence
-            # (costs a host sync)
+            # (costs a host sync).  The saved best-F must never outrun the
+            # on-disk checkpoint: flush best_params_dev first whenever the
+            # device-side best advanced since the last flush, else a
+            # crash+resume would restore a high watermark whose params
+            # were lost (best_params_dev resets to current params).
+            best_f = float(best_f_dev)
+            if best_f > flushed_best:
+                ckpt_lib.save_checkpoint(
+                    {"params": best_params_dev,
+                     **(state.constants or {})}, save_path)
+                flushed_best = best_f
             ckpt_lib.save_train_state(
-                state, epoch + 1, float(best_f_dev), state_path,
+                state, epoch + 1, best_f, state_path,
                 np_rng=rng, step_rng=step_rng)
         if (epoch + 1) % eval_every and epoch + 1 != args.max_epoch:
             continue

@@ -129,3 +129,17 @@ def test_orchestrator_surfaces_measure_crash_on_responsive_device(
     assert out["value"] == 0
     assert "crashed on a responsive device" in out["error"]
     assert "stale" not in out
+
+
+def test_bench_record_fallback_sorts_rounds_numerically(tmp_path,
+                                                        monkeypatch):
+    """r10 must beat r9 (reverse-lexicographic put 'r9' after 'r10')."""
+    monkeypatch.setattr(bench, "CACHE_PATH", tmp_path / "nope.json")
+    for n, val in ((9, 9.0), (10, 10.0)):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps({"n": n, "parsed": {"value": val}}))
+    fakes = [tmp_path / "BENCH_r9.json", tmp_path / "BENCH_r10.json"]
+    monkeypatch.setattr(Path, "glob", lambda self, pat: iter(fakes))
+    cached, measured_at, _ = bench._load_cache()
+    assert cached["value"] == 10.0
+    assert "10" in measured_at

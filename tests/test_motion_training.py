@@ -3,11 +3,8 @@ import numpy as np
 import yaml
 
 
-def test_train_cross_attention(tmp_path):
+def _write_motion_h5(tmp_path, rng):
     import h5py
-    from edsnet_tpu.train import main
-
-    rng = np.random.RandomState(0)
     h5_path = tmp_path / "mock_tvsum.h5"
     with h5py.File(h5_path, "w") as f:
         for i, n_seq in enumerate([20, 24, 28]):
@@ -28,15 +25,65 @@ def test_train_cross_attention(tmp_path):
     split_path = tmp_path / "mock.yml"
     with open(split_path, "w") as f:
         yaml.dump([{"train_keys": keys[:2], "test_keys": keys[2:]}], f)
+    return split_path
 
-    main(["anchor-based", "--model-depth", "cross-attention",
-          "--base-model", "attention",
-          "--splits", str(split_path), "--data-root", str(tmp_path),
-          "--model-dir", str(tmp_path / "m"), "--max-epoch", "1",
-          "--num-feature", "1024", "--num-hidden", "8", "--fc-depth", "1",
-          "--attention-depth", "1", "--num-head", "2",
-          "--bucket-size", "32", "--batch-size", "2",
-          "--anchor-scales", "4"])
+
+MOTION_ARGS = ["anchor-based", "--model-depth", "cross-attention",
+               "--base-model", "attention",
+               "--max-epoch", "1",
+               "--num-feature", "1024", "--num-hidden", "8",
+               "--fc-depth", "1",
+               "--attention-depth", "1", "--num-head", "2",
+               "--bucket-size", "32", "--batch-size", "2",
+               "--anchor-scales", "4"]
+
+
+def test_train_cross_attention(tmp_path):
+    from edsnet_tpu.train import main
+
+    split_path = _write_motion_h5(tmp_path, np.random.RandomState(0))
+    main(MOTION_ARGS + ["--splits", str(split_path),
+                        "--data-root", str(tmp_path),
+                        "--model-dir", str(tmp_path / "m")])
 
     results = yaml.safe_load((tmp_path / "m" / "mock.yml").read_text())
+    assert 0.0 <= results["mean"] <= 1.0
+
+
+def test_evaluate_cli_motion_roundtrip(tmp_path, capsys):
+    """evaluate.main restores a cross-attention checkpoint and reproduces
+    the training-time validation F-score (round-4 gap: _example_input built
+    only (seq, mask), landing the mask in the motion_features slot)."""
+    from edsnet_tpu.evaluate import main as eval_main
+    from edsnet_tpu.train import main as train_main
+
+    split_path = _write_motion_h5(tmp_path, np.random.RandomState(1))
+    common = ["--splits", str(split_path), "--data-root", str(tmp_path),
+              "--model-dir", str(tmp_path / "m")]
+    train_main(MOTION_ARGS + common)
+    train_f = yaml.safe_load((tmp_path / "m" / "mock.yml").read_text())["mean"]
+
+    eval_main(MOTION_ARGS + common)
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("mock:")][-1]
+    eval_f = float(line.rsplit("F-score:", 1)[1])
+    assert abs(eval_f - train_f) < 1e-3
+
+
+def test_non_motion_model_ignores_motion_h5(tmp_path):
+    """A plain (non-cross-attention) model must train fine on an h5 that
+    happens to carry motion_features — the reference's non-motion heads
+    never read that key (src/anchor_based/train.py:110-116).  Round-5
+    regression: prepare_items attached motion unconditionally, so the
+    train step passed motion args into DSNet.__call__."""
+    from edsnet_tpu.train import main
+
+    split_path = _write_motion_h5(tmp_path, np.random.RandomState(2))
+    main(["anchor-based", "--base-model", "linear",
+          "--splits", str(split_path), "--data-root", str(tmp_path),
+          "--model-dir", str(tmp_path / "plain"), "--max-epoch", "1",
+          "--num-feature", "1024", "--num-hidden", "8", "--fc-depth", "1",
+          "--num-head", "2", "--bucket-size", "32", "--batch-size", "2",
+          "--anchor-scales", "4"])
+    results = yaml.safe_load((tmp_path / "plain" / "mock.yml").read_text())
     assert 0.0 <= results["mean"] <= 1.0

@@ -200,3 +200,74 @@ def test_state_save_every_tightens_crash_window(tmp_path):
     # crash hits epoch 5's eval AFTER that epoch's training persisted ->
     # resume replays nothing and restarts at epoch 6.
     assert run("tight", 1) == 6
+
+
+def test_mid_cadence_save_never_outruns_checkpoint(tmp_path):
+    """The best F recorded by a mid-cadence --state-save-every snapshot
+    must always have a matching best-params checkpoint already on disk.
+    Round-4 bug: best_f_dev advances at every eval epoch but the best
+    params were flushed only at logging epochs (every 30), so a
+    crash+resume restored a high watermark whose params were gone."""
+    import pytest
+    from flax import serialization
+
+    from edsnet_tpu.data.dataset import load_yaml
+    from edsnet_tpu.parallel import eval_device
+    from edsnet_tpu.trainer import train
+    from edsnet_tpu.utils import checkpoint as ckpt_lib
+
+    split_path = _make_mock_h5(tmp_path)
+    split = load_yaml(split_path)[0]
+
+    args = _train_args(tmp_path, "outrun", 60)
+    args.state_save_every = 2
+
+    calls = {"n": 0}
+    events = []  # ("ckpt", evals_done_at_flush) / ("state", best_fscore)
+    real_eval = eval_device.eval_fscore_device
+    real_ckpt = ckpt_lib.save_checkpoint
+    real_state = ckpt_lib.save_train_state
+
+    def rising_eval(*a, **kw):
+        import jax.numpy as jnp
+        calls["n"] += 1
+        if calls["n"] > 5:  # crash at epoch 5's eval, AFTER its mid-save
+            raise RuntimeError("simulated crash")
+        return jnp.float32(0.1 * calls["n"])
+
+    def spy_ckpt(variables, path):
+        events.append(("ckpt", calls["n"]))
+        return real_ckpt(variables, path)
+
+    def spy_state(state, epoch, best_fscore, path, **kw):
+        events.append(("state", best_fscore))
+        return real_state(state, epoch, best_fscore, path, **kw)
+
+    eval_device.eval_fscore_device = rising_eval
+    ckpt_lib.save_checkpoint = spy_ckpt
+    ckpt_lib.save_train_state = spy_state
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            train(args, split, tmp_path / "outrun.pt")
+    finally:
+        eval_device.eval_fscore_device = real_eval
+        ckpt_lib.save_checkpoint = real_ckpt
+        ckpt_lib.save_train_state = real_state
+
+    # eval F at call n is 0.1*n, so a flush after n evals persists params
+    # worth F=0.1*n: every recorded state save must be covered by a flush
+    flushed = 0.0
+    for kind, val in events:
+        if kind == "ckpt":
+            flushed = max(flushed, 0.1 * val)
+        else:
+            assert val <= flushed + 1e-6, (
+                f"state save recorded best F={val} but only F={flushed} "
+                f"was ever flushed to disk: {events}")
+
+    # the crash (epoch 5's eval) follows the epoch-5 mid-save, which saw
+    # best through epoch 4 (0.5) and must therefore have flushed it
+    raw = serialization.msgpack_restore(
+        (tmp_path / "outrun.pt.state").read_bytes())
+    assert abs(raw["best_fscore"] - 0.5) < 1e-6
+    assert (tmp_path / "outrun.pt").exists()

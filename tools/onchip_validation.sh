@@ -1,7 +1,9 @@
 #!/bin/bash
 # One-shot on-chip validation batch: run the moment the TPU is
-# responsive (round-4 pending measurements).  Appends everything to
-# benchmarks/onchip_r4.log; safe to re-run.
+# responsive (round-4/5 pending measurements).  Appends everything to
+# benchmarks/onchip_r5.log (override with ONCHIP_LOG); safe to re-run.
+# tools/tpu_watchdog.sh probes in a loop and invokes this automatically
+# the moment the chip answers.
 #
 #   bash tools/onchip_validation.sh
 #
@@ -14,7 +16,7 @@
 #  4. per-stage step breakdown
 set -uo pipefail
 cd "$(dirname "$0")/.."
-LOG=benchmarks/onchip_r4.log
+LOG="${ONCHIP_LOG:-benchmarks/onchip_r5.log}"
 stamp() { date -u +%Y-%m-%dT%H:%M:%SZ; }
 
 echo "=== onchip validation $(stamp) commit $(git rev-parse --short HEAD) ===" >> "$LOG"
