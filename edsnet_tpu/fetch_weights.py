@@ -14,6 +14,22 @@ download; --verify re-hashes cached files.
     python -m edsnet_tpu.fetch_weights                 # google-net only
     python -m edsnet_tpu.fetch_weights --all           # + swin/convnext/i3d
     python -m edsnet_tpu.fetch_weights --verify        # check cached hashes
+    python -m edsnet_tpu.fetch_weights --all --pin     # print full sha256s
+
+NETWORKED PLAYBOOK (the ONE command a machine with egress needs to flip
+the three real-weight contract skips):
+
+    python -m edsnet_tpu.fetch_weights --all && python -m pytest \
+        tests/parity/test_googlenet.py tests/parity/test_convnext.py \
+        tests/parity/test_swin.py -q
+
+That downloads into the torch hub cache with torch.hub's sha256-prefix
+check, re-verifies the digests, and runs the checksum-gated parity tests
+(each skipif re-hashes the cached file, so a fabricated .pth can never
+un-skip them).  Afterwards run `--verify --pin` and paste the printed
+full digests into ``WEIGHTS[...]["sha256_full"]`` below to upgrade the
+32-bit prefix pin (the strongest digest torchvision publishes) to the
+full 256-bit one; ``--verify`` checks ``sha256_full`` whenever it is set.
 """
 from __future__ import annotations
 
@@ -24,21 +40,27 @@ import sys
 from pathlib import Path
 
 # torchvision release URLs; the 8-hex suffix is the sha256 prefix that
-# torch.hub checks after download.
+# torch.hub checks after download.  ``sha256_full``: populate from a
+# networked `--verify --pin` run to upgrade the pin to the full digest
+# (this box has zero egress, so the 32-bit torchvision prefix is the
+# strongest value recordable offline).
 WEIGHTS = {
     "google-net": {
         "url": "https://download.pytorch.org/models/googlenet-1378be20.pth",
         "sha256_prefix": "1378be20",
+        "sha256_full": None,
     },
     "swin-transformer": {
         "url": "https://download.pytorch.org/models/"
                "swin_v2_b-781e5279.pth",
         "sha256_prefix": "781e5279",
+        "sha256_full": None,
     },
     "convnext": {
         "url": "https://download.pytorch.org/models/"
                "convnext_base-6075fbad.pth",
         "sha256_prefix": "6075fbad",
+        "sha256_full": None,
     },
     # I3D RGB (Kinetics+ImageNet init) from the standard PyTorch port of
     # the reference's TF1 checkpoint (feature_extractor.py:28-112).
@@ -46,6 +68,7 @@ WEIGHTS = {
         "url": "https://github.com/piergiaj/pytorch-i3d/raw/master/"
                "models/rgb_imagenet.pt",
         "sha256_prefix": None,   # upstream publishes no digest
+        "sha256_full": None,     # pin via --verify --pin on first fetch
     },
 }
 
@@ -71,20 +94,31 @@ def cached_path(name: str) -> Path:
     return hub_dir() / WEIGHTS[name]["url"].rsplit("/", 1)[-1]
 
 
-def verify(name: str) -> bool:
-    """Re-hash a cached file against its embedded sha256 prefix."""
+def verify(name: str, pin: bool = False) -> bool:
+    """Re-hash a cached file against the strongest recorded digest:
+    ``sha256_full`` when pinned, else the torchvision 8-hex prefix.
+    ``pin=True`` additionally prints the full digest as a paste-ready
+    WEIGHTS line."""
     path = cached_path(name)
     if not path.exists():
         print(f"{name}: not cached ({path})")
         return False
-    prefix = WEIGHTS[name]["sha256_prefix"]
-    if prefix is None:
-        print(f"{name}: cached, no published digest to check")
-        return True
+    spec = WEIGHTS[name]
     digest = hashlib.sha256(path.read_bytes()).hexdigest()
-    ok = digest.startswith(prefix)
+    if pin:
+        print(f'        "sha256_full": "{digest}",   # {name}')
+    if spec.get("sha256_full"):
+        ok = digest == spec["sha256_full"]
+        print(f"{name}: {'OK (full pin)' if ok else 'HASH MISMATCH'} "
+              f"({digest[:8]}…)")
+        return ok
+    if spec["sha256_prefix"] is None:
+        print(f"{name}: cached, no published digest to check "
+              f"(sha256 {digest[:8]}…; pin it with --pin)")
+        return True
+    ok = digest.startswith(spec["sha256_prefix"])
     print(f"{name}: {'OK' if ok else 'HASH MISMATCH'} "
-          f"({digest[:8]} vs {prefix})")
+          f"({digest[:8]} vs {spec['sha256_prefix']})")
     return ok
 
 

@@ -104,6 +104,21 @@ class _AnchorHeads(nn.Module):
         pred_loc = self.fc_loc(ensure_scales(pooled_loc))
         return pred_cls, pred_loc
 
+    def fused_linear_coarse(self, out, coarse_fn, fine):
+        """fft/dwt heads with the cls projection commuted past the coarse
+        pooling.  Both coarse maps are per-channel LINEAR temporal
+        operators (fft: first-slot gather; dwt: windowed Haar mean —
+        ops/window_linear.py:105-135), so
+        ``fc_cls(coarse(out)) == coarse(fc_cls(out))`` exactly: the trunk
+        is contracted to 1 channel first and the pooling then touches
+        [B,N,1] instead of [B,N,H] (~H x less pooling traffic fwd+bwd).
+        The loc branch reads the nonlinear fine tensor, as in the
+        reference (dsnet.py:117-125)."""
+        zc, bc = self.fc_cls(out, with_bias=False)       # [B, N, 1]
+        pred_cls = nn.sigmoid(coarse_fn(zc) + bc[0])     # [B, N, S=1]
+        pred_loc = self.fc_loc(fine[:, :, None, :])      # [B, N, 1, 2]
+        return pred_cls, pred_loc
+
     def fused_roi(self, out, scales, fine_loc=None):
         """ROI heads with projections hoisted before the pooling.
 
@@ -165,8 +180,18 @@ class DSNet(nn.Module):
             pooled = roi_multi_scale(out, scales)          # [B,N,S,H]
             return heads(pooled, pooled)
         if self.pooling_type in ("fft", "dwt"):
-            coarse, fine = Pooling(scales, self.pooling_type,
-                                   self.num_hidden, name="pooling")(out)
+            pool = Pooling(scales, self.pooling_type, self.num_hidden,
+                           name="pooling",
+                           emit_coarse=not self.fused_roi_head)
+            if self.fused_roi_head:
+                from edsnet_tpu.ops import window_linear as wl
+                (fine,) = pool(out)
+                s = scales[0]
+                coarse_fn = ((lambda t: wl.fft_coarse(t, s))
+                             if self.pooling_type == "fft"
+                             else (lambda t: wl.dwt_coarse(t, s)))
+                return heads.fused_linear_coarse(out, coarse_fn, fine)
+            coarse, fine = pool(out)
             return heads(coarse, fine)
         if self.pooling_type == "flat-pooling":
             fine, = Pooling(scales, self.pooling_type, self.num_hidden,

@@ -83,6 +83,10 @@ class Pooling(nn.Module):
     pooling_type: str
     num_hidden: int
     fused: bool = True
+    # False: skip the coarse tensor (the fused head computes its cls
+    # projection commuted past the linear coarse map itself —
+    # _AnchorHeads.fused_linear_coarse); param tree is identical
+    emit_coarse: bool = True
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
@@ -95,10 +99,12 @@ class Pooling(nn.Module):
         if self.fused:
             if self.pooling_type == "fft":
                 folded = wl.fft_weight_fold(kernel, scale)
-                coarse = wl.fft_coarse(x, scale)
+                coarse = (wl.fft_coarse(x, scale)
+                          if self.emit_coarse else None)
             elif self.pooling_type == "dwt":
                 folded = wl.dwt_weight_fold(kernel, scale)
-                coarse = wl.dwt_coarse(x, scale)
+                coarse = (wl.dwt_coarse(x, scale)
+                          if self.emit_coarse else None)
             elif self.pooling_type == "flat-pooling":
                 folded = wl.flat_weight_fold(kernel, scale)
                 coarse = None
@@ -113,12 +119,14 @@ class Pooling(nn.Module):
             spec = jnp.fft.fft(w, axis=2).real
             coarse = spec.mean(axis=2)
             fine = spec.reshape(b, n, scale * h) @ kernel + bias
-            return coarse, gelu(fine)
+            return (gelu(fine),) if not self.emit_coarse \
+                else (coarse, gelu(fine))
         if self.pooling_type == "dwt":
             ca, _ = haar_dwt(w, axis=2)                # [B, N, s//2, H]
             coarse = ca.mean(axis=2)
             fine = ca.reshape(b, n, (scale // 2) * h) @ kernel + bias
-            return coarse, gelu(fine)
+            return (gelu(fine),) if not self.emit_coarse \
+                else (coarse, gelu(fine))
         if self.pooling_type == "flat-pooling":
             fine = w.reshape(b, n, scale * h) @ kernel + bias
             return (gelu(fine),)

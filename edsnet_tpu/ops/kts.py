@@ -33,41 +33,57 @@ _INF32 = 1e30  # float32-safe sentinel (scatter magnitudes are <= n * max|K|)
 # ---------------------------------------------------------------------------
 
 def calc_scatters(K: np.ndarray) -> np.ndarray:
-    """scatters[i, j] = within-segment scatter of frames [i..j]. (cpd_nonlin.py:4-26)"""
+    """scatters[i, j] = within-segment scatter of frames [i..j].
+
+    Standard KTS cumulative-sum identity (Potapov et al., ECCV 2014,
+    "Category-specific video summarization"; the reference transcribes the
+    authors' published implementation at cpd_nonlin.py:4-26).  For a
+    kernel matrix K, the scatter of segment [i..j] in feature space is
+
+        sum_{t=i..j} K[t,t]  -  (sum_{s,t=i..j} K[s,t]) / (j - i + 1)
+
+    Both sums come from O(n^2) prefix tables: ``trace_csum[p]`` is the
+    cumulative trace sum(diag(K)[:p]) and ``block_csum[p, q]`` the 2-D
+    cumulative block sum(K[:p, :q]), so the block mass of any [i..j] is an
+    inclusion-exclusion of four corners.
+    """
     K = np.asarray(K, dtype=np.float64)
     n = K.shape[0]
-    K1 = np.concatenate([[0.0], np.cumsum(np.diag(K))])
-    K2 = np.zeros((n + 1, n + 1))
-    K2[1:, 1:] = np.cumsum(np.cumsum(K, 0), 1)
-    diagK2 = np.diag(K2)
+    trace_csum = np.concatenate([[0.0], np.cumsum(np.diag(K))])
+    block_csum = np.zeros((n + 1, n + 1))
+    block_csum[1:, 1:] = np.cumsum(np.cumsum(K, 0), 1)
 
     i = np.arange(n).reshape((-1, 1))
     j = np.arange(n).reshape((1, -1))
-    denom = (j - i + 1).astype(np.float64) + (j == i - 1).astype(np.float64)
-    scatters = (K1[1:].reshape((1, -1)) - K1[:-1].reshape((-1, 1))
-                - (diagK2[1:].reshape((1, -1)) + diagK2[:-1].reshape((-1, 1))
-                   - K2[1:, :-1].T - K2[:-1, 1:]) / denom)
+    seg_trace = trace_csum[1:][None, :] - trace_csum[:-1][:, None]
+    seg_block = (block_csum[1:, 1:].diagonal()[None, :]     # corner (j+1,j+1)
+                 + block_csum.diagonal()[:-1][:, None]      # corner (i,i)
+                 - block_csum[1:, :-1].T                    # corner (j+1,i)
+                 - block_csum[:-1, 1:])                     # corner (i,j+1)
+    # guard the (empty) j == i-1 cells against 0/0; masked to 0 below
+    seg_len = (j - i + 1).astype(np.float64) + (j == i - 1)
+    scatters = seg_trace - seg_block / seg_len
     scatters[j < i] = 0
     return scatters
 
 
 def calc_scatters_jax(K) -> jax.Array:
-    """Jittable scatter matrix (float32)."""
+    """Jittable float32 twin of :func:`calc_scatters` (same identity)."""
     K = jnp.asarray(K, jnp.float32)
     n = K.shape[0]
-    K1 = jnp.concatenate([jnp.zeros((1,), K.dtype),
-                          jnp.cumsum(jnp.diagonal(K))])
-    K2 = jnp.zeros((n + 1, n + 1), K.dtype)
-    K2 = K2.at[1:, 1:].set(jnp.cumsum(jnp.cumsum(K, 0), 1))
-    diagK2 = jnp.diagonal(K2)
+    trace_csum = jnp.concatenate([jnp.zeros((1,), K.dtype),
+                                  jnp.cumsum(jnp.diagonal(K))])
+    block_csum = jnp.zeros((n + 1, n + 1), K.dtype)
+    block_csum = block_csum.at[1:, 1:].set(jnp.cumsum(jnp.cumsum(K, 0), 1))
 
     i = jnp.arange(n)[:, None]
     j = jnp.arange(n)[None, :]
-    denom = (j - i + 1).astype(K.dtype) + (j == i - 1).astype(K.dtype)
-    scatters = (K1[1:][None, :] - K1[:-1][:, None]
-                - (diagK2[1:][None, :] + diagK2[:-1][:, None]
-                   - K2[1:, :-1].T - K2[:-1, 1:]) / denom)
-    return jnp.where(j < i, 0.0, scatters)
+    seg_trace = trace_csum[1:][None, :] - trace_csum[:-1][:, None]
+    seg_block = (jnp.diagonal(block_csum)[1:][None, :]
+                 + jnp.diagonal(block_csum)[:-1][:, None]
+                 - block_csum[1:, :-1].T - block_csum[:-1, 1:])
+    seg_len = (j - i + 1).astype(K.dtype) + (j == i - 1).astype(K.dtype)
+    return jnp.where(j < i, 0.0, seg_trace - seg_block / seg_len)
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +284,18 @@ def _cpd_auto_device_core(K, n, ncp, vmax, lmin: int,
     return cps, valid, scores, m_best
 
 
+# float32 validity bound for the device path, measured against the f64
+# host DP on piecewise-constant kernels (round 5): change points match the
+# host EXACTLY while n^2 * max|K| <= ~1e8 (n=2000, |K|max=26 -> equal;
+# n=1000, |K|max=237 -> diverges).  The scatter cumsums grow like
+# n^2 * |K|max, so past ~2^24 * 10 the f32 mantissa can no longer resolve
+# the DP's cost differences and the penalized model selection flips.  The
+# production pipeline feeds L2-NORMALIZED frame features
+# (video_helper.py:70-73 contract -> |K| <= 1), which keeps the device
+# path exact to ~10,000 picks — hours of video at the 15x sample rate.
+_DEVICE_F32_CRIT = 5e7  # conservative: half the measured safe boundary
+
+
 def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
                     desc_rate: int = 1, lmin: int = 1,
                     lmax: Optional[int] = None,
@@ -278,10 +306,22 @@ def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
     The kernel is zero-padded to a bucket and the true length/ncp are
     traced, so repeated calls at varying video lengths share one compile.
 
+    Falls back to the float64 HOST path automatically when
+    ``n^2 * max|K|`` exceeds ``_DEVICE_F32_CRIT`` (see the bound above):
+    very long videos or unnormalized large-magnitude kernels would flip
+    the f32 DP's model selection, so they silently get the exact solver
+    instead of wrong change points.
+
     Returns (cps, scores[:m_best+1]) like the host path.
     """
-    K = np.asarray(K, np.float32)
+    K = np.asarray(K)
     n = K.shape[0]
+    # guard on the ORIGINAL values, before any f32 cast loses precision
+    if n * n * float(np.abs(K).max(initial=0.0)) > _DEVICE_F32_CRIT:
+        kw = {} if lmax is None else {"lmax": lmax}
+        return cpd_auto(np.asarray(K, np.float64), ncp, vmax,
+                        desc_rate=desc_rate, lmin=lmin, **kw)
+    K = np.asarray(K, np.float32)
     L = max(bucket_size, -(-n // bucket_size) * bucket_size)
     K_pad = np.zeros((L, L), np.float32)
     K_pad[:n, :n] = K

@@ -47,6 +47,41 @@ def missing_datasets(split_path: Path, data_root: str):
     return sorted(missing)
 
 
+def eval_diversity(train_args, split_path: Path) -> dict:
+    """Per-fold summary diversity from the best checkpoints, the second
+    column the reference's evaluator logs next to F-score
+    (`/root/reference/src/evaluate.py:36-38`, metric defined at
+    vsumm_helper.py:119-140).  Runs the device eval path on each fold's
+    saved best checkpoint after training."""
+    import yaml
+
+    from edsnet_tpu.data.dataset import VideoDataset, get_ckpt_path
+    from edsnet_tpu.evaluate import _example_input
+    from edsnet_tpu.models.model_zoo import get_model
+    from edsnet_tpu.parallel.eval_device import evaluate_on_device
+    from edsnet_tpu.utils import checkpoint as ckpt_lib
+
+    model = get_model(train_args.model, **vars(train_args))
+    divs = {}
+    folds = yaml.safe_load(Path(split_path).read_text())
+    for fold_idx, fold in enumerate(folds):
+        ckpt_path = get_ckpt_path(train_args.model_dir, split_path,
+                                  fold_idx)
+        variables = ckpt_lib.load_checkpoint(
+            model, ckpt_path,
+            example_input=_example_input(train_args, model))
+        val_set = VideoDataset(fold["test_keys"], train_args.data_root)
+        records = [val_set[i] for i in range(len(val_set))]
+        _, diversity = evaluate_on_device(
+            model, variables, records, train_args.nms_thresh,
+            batch_size=max(train_args.batch_size, 1),
+            bucket_size=train_args.bucket_size)
+        divs[f"split{fold_idx}"] = float(diversity)
+    vals = list(divs.values())
+    divs["mean"] = sum(vals) / max(len(vals), 1)
+    return divs
+
+
 def run_sweep(argv=None) -> dict:
     parser = argparse.ArgumentParser(
         description="Run the paper's canonical/aug/transfer benchmark "
@@ -114,9 +149,12 @@ def run_sweep(argv=None) -> dict:
             results = train_split_file(train_args, split_path)
             entry["status"] = "ok"
             entry["fscores"] = results
+            entry["diversity"] = eval_diversity(train_args, split_path)
             entry["wall_clock_s"] = round(time.time() - t0, 1)
             print(f"[{setting}/{split_path.stem}] mean F-score "
-                  f"{results['mean']:.4f} in {entry['wall_clock_s']}s")
+                  f"{results['mean']:.4f} diversity "
+                  f"{entry['diversity']['mean']:.4f} "
+                  f"in {entry['wall_clock_s']}s")
 
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -45,8 +45,10 @@ def _assert_match(fused_model, oracle_model, *args):
     assert (jax.tree.structure(params_f) == jax.tree.structure(params))
 
 
-@pytest.mark.parametrize("pooling", ["roi", "flat-pooling"])
+@pytest.mark.parametrize("pooling", ["roi", "flat-pooling", "fft", "dwt"])
 def test_dsnet_fused_matches_oracle(pooling):
+    """roi/flat via fused_roi; fft/dwt via fused_linear_coarse (cls
+    projection commuted past the linear coarse pooling, round 5)."""
     scales = SCALES if pooling == "roi" else SCALES[:1]
     kw = dict(base_model="linear", num_feature=F, num_hidden=16,
               anchor_scales=scales, num_head=2, fc_depth=2,

@@ -177,3 +177,48 @@ def test_cpd_auto_device_bucket_independent():
     cps_small, _ = kts.cpd_auto_device(K, n - 1, 1, bucket_size=50)
     cps_large, _ = kts.cpd_auto_device(K, n - 1, 1, bucket_size=128)
     np.testing.assert_array_equal(cps_small, cps_large)
+
+
+def test_cpd_auto_device_long_video_f32_bound():
+    """Device f32 KTS == f64 host at >=1000 picks on NORMALIZED kernels
+    (the production feature contract, video_helper.py:70-73): the f32
+    scatter cumsums stay exact while n^2 * max|K| is under the measured
+    ~1e8 boundary (see ops/kts.py:_DEVICE_F32_CRIT)."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(17)
+    n, segs = 1200, 16
+    bounds = np.sort(rng.choice(np.arange(20, n - 20), segs - 1,
+                                replace=False))
+    parts = np.split(np.arange(n), bounds)
+    feats = np.concatenate([np.tile(rng.randn(1, 16), (len(s), 1))
+                            for s in parts])
+    feats += 0.05 * rng.randn(n, 16)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)  # |K| <= 1
+    K = feats @ feats.T
+    assert n * n * np.abs(K).max() <= kts._DEVICE_F32_CRIT
+
+    host_cps, _ = kts.cpd_auto(K, n - 1, 1)
+    dev_cps, _ = kts.cpd_auto_device(K, n - 1, 1)
+    np.testing.assert_array_equal(np.asarray(host_cps),
+                                  np.asarray(dev_cps))
+
+
+def test_cpd_auto_device_falls_back_to_host_past_f32_bound():
+    """Past the f32 criterion (large unnormalized kernels — measured to
+    flip the device DP's model selection at n^2*max|K| >~ 2e8) the device
+    entry point must transparently return the f64 host answer."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(11)
+    n = 600
+    feats = np.repeat(rng.randn(10, 16), 60, axis=0) + 0.05 * rng.randn(n, 16)
+    feats *= 30.0                      # |K|max ~ 2e4 -> crit ~ 7e12
+    K = feats @ feats.T
+    assert n * n * np.abs(K).max() > kts._DEVICE_F32_CRIT
+
+    host_cps, host_scores = kts.cpd_auto(K, n - 1, 1)
+    dev_cps, dev_scores = kts.cpd_auto_device(K, n - 1, 1)
+    np.testing.assert_array_equal(np.asarray(host_cps),
+                                  np.asarray(dev_cps))
+    np.testing.assert_allclose(host_scores, dev_scores)

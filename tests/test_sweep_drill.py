@@ -98,6 +98,12 @@ def test_canonical_paper_matrix_drill(tmp_path):
         assert len(folds) == expected_folds[stem], fscores
         for k in folds + ["mean"]:
             assert 0.0 <= fscores[k] <= 1.0, (stem, k, fscores)
+        # diversity column (reference logs it next to F,
+        # src/evaluate.py:36-38): same per-fold + mean shape
+        diversity = entry["diversity"]
+        assert set(diversity) == set(fscores), (stem, diversity)
+        for k, v in diversity.items():
+            assert np.isfinite(v), (stem, k, diversity)
         # per-fold best checkpoints on the reference's naming contract
         for i in range(expected_folds[stem]):
             ckpt = (tmp_path / "models" / "canonical" / stem / "checkpoint"
