@@ -204,12 +204,18 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-pallas", action="store_false", default=None,
                         dest="use_pallas",
                         help="always use the XLA attention path")
-    parser.add_argument("--compute-dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"],
+    parser.add_argument("--compute-dtype", type=str, default="auto",
+                        choices=["auto", "float32", "bfloat16"],
                         help="training forward/backward dtype; bfloat16 "
                              "keeps f32 master params and f32 losses/"
                              "optimizer (mixed precision) and roughly "
-                             "halves the HBM-bound step's traffic")
+                             "halves the HBM-bound step's traffic. "
+                             "'auto' (default) = bfloat16 on real TPU "
+                             "backends — a repeatable ~12%% step win with "
+                             "converged F-scores equal to f32's "
+                             "(benchmarks/RESULTS.md traffic-levers "
+                             "study) — and float32 elsewhere (CPU test "
+                             "parity)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize forward activations in the "
                              "backward (jax.checkpoint) instead of saving "

@@ -67,6 +67,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     (anchor_based/train.py:27, anchor_free/train.py:15).
     """
     is_ab = args.model == "anchor-based"
+    from edsnet_tpu.utils.runtime import resolve_compute_dtype
+    compute_dtype = resolve_compute_dtype(
+        getattr(args, "compute_dtype", None))
+    if compute_dtype != "float32":
+        logger.info(f"compute dtype: {compute_dtype} "
+                    f"(--compute-dtype float32 to opt out)")
     model = get_model(args.model, model_depth=args.model_depth, **{
         k: v for k, v in vars(args).items() if k != "model_depth"})
 
@@ -230,16 +236,14 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
                         neg_ratio=args.neg_sample_ratio,
                         inc_ratio=args.incomplete_sample_ratio,
                         remat=bool(getattr(args, "remat", False)),
-                        compute_dtype=getattr(args, "compute_dtype",
-                                              "float32"))
+                        compute_dtype=compute_dtype)
                 else:
                     state, metrics = af_train_step(
                         state, dev_batch, sub, lambda_reg=args.lambda_reg,
                         lambda_ctr=args.lambda_ctr, cls_kind=args.cls_loss,
                         reg_kind=args.reg_loss,
                         remat=bool(getattr(args, "remat", False)),
-                        compute_dtype=getattr(args, "compute_dtype",
-                                              "float32"))
+                        compute_dtype=compute_dtype)
                 timer.stop(frames,
                            sync=metrics["loss"] if args.profile else None)
                 # keep metrics on device; a per-step float() would force a

@@ -14,6 +14,7 @@
 #  3. flash-attention parity + speed at both kernel precisions
 #     (certifies the <=1e-3 'highest' bound the auto-default ships)
 #  4. per-stage step breakdown
+#  5. compiled-cost roofline (floor_ms vs measured_ms, f32 + bf16)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 LOG="${ONCHIP_LOG:-benchmarks/onchip_r5.log}"
@@ -40,6 +41,9 @@ timeout 900 python benchmarks/bench_flash_parity.py 2048 >> "$LOG" 2>&1
 
 echo "--- step breakdown ---" >> "$LOG"
 timeout 900 python benchmarks/bench_step_breakdown.py >> "$LOG" 2>&1 || true
+
+echo "--- roofline (compiled cost model vs measured, f32+bf16) ---" >> "$LOG"
+timeout 900 python benchmarks/bench_hlo_cost.py --measure >> "$LOG" 2>&1 || true
 
 echo "=== done $(stamp) ===" >> "$LOG"
 tail -40 "$LOG"
