@@ -24,6 +24,13 @@ def main():
     parser.add_argument("--feat", type=int, default=1024)
     parser.add_argument("--base-model", type=str, default="nystromformer")
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--compute-dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = the production TPU mixed-"
+                             "precision config (--compute-dtype auto)")
+    parser.add_argument("--device", type=str, default="auto",
+                        help="auto|cpu|tpu — cpu forces the host backend "
+                             "(the axon plugin ignores JAX_PLATFORMS)")
     args = parser.parse_args()
 
     import jax
@@ -35,7 +42,7 @@ def main():
                                            make_optimizer)
     from edsnet_tpu.utils.runtime import setup_runtime
 
-    setup_runtime()
+    setup_runtime(device=args.device)
     b, n, f = args.batch, args.seq, args.feat
     scales = (12,)
     s = len(scales)
@@ -64,15 +71,23 @@ def main():
     params0 = variables["params"]
     opt0 = tx.init(params0)
 
+    cd = jnp.dtype(args.compute_dtype)
+
     def one_step(carry, key):
         params, opt = carry
         drop_rng, label_rng = jax.random.split(key)
         cls_label = build_ab_cls_labels(batch, label_rng, 2.0, 1.0)
 
         def loss_fn(p):
+            if cd != jnp.float32:   # mirror steps.py mixed precision
+                p = jax.tree.map(
+                    lambda t: t.astype(cd)
+                    if jnp.issubdtype(t.dtype, jnp.floating) else t, p)
             pred_cls, pred_loc = model.apply(
-                {"params": p}, batch["seq"], batch["mask"],
+                {"params": p}, batch["seq"].astype(cd), batch["mask"],
                 deterministic=False, rngs={"dropout": drop_rng})
+            pred_cls = pred_cls.astype(jnp.float32)
+            pred_loc = pred_loc.astype(jnp.float32)
             loc = jax.vmap(L.ab_loc_loss)(pred_loc, batch["loc_label"],
                                           cls_label)
             cls = jax.vmap(L.ab_cls_loss)(pred_cls, cls_label)
@@ -105,6 +120,7 @@ def main():
     print(json.dumps({
         "metric": "train_step",
         "base_model": args.base_model,
+        "compute_dtype": args.compute_dtype,
         "ms_per_step": round(dt / args.steps * 1e3, 3),
         "frames_per_sec": round(b * n * args.steps / dt),
         "batch": b, "seq": n,

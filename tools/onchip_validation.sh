@@ -36,6 +36,11 @@ for b in 8 16 32 64; do
     timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 >> "$LOG" 2>&1
 done
 
+echo "--- train-step bf16 (the production TPU default) ---" >> "$LOG"
+for b in 8 64; do
+    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 --compute-dtype bfloat16 >> "$LOG" 2>&1
+done
+
 echo "--- flash parity/speed (default + highest) ---" >> "$LOG"
 timeout 900 python benchmarks/bench_flash_parity.py 2048 >> "$LOG" 2>&1
 
