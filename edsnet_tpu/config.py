@@ -82,6 +82,17 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--feature-extractor", type=str, default="google-net",
                         choices=["google-net", "swin-transformer",
                                  "convnext", "random"])
+    parser.add_argument("--motion-feature", type=str, default=None,
+                        help="infer: precomputed motion features (.npy, "
+                             "one row per sampled frame — data/motion.py "
+                             "CLI output) for --source; required only by "
+                             "motion models (--model-depth "
+                             "cross-attention) and computed on the fly "
+                             "with --motion-backend when omitted")
+    parser.add_argument("--motion-backend", type=str, default="flowdiff",
+                        choices=["flowdiff", "conv3d"],
+                        help="on-the-fly motion extractor for infer when "
+                             "no --motion-feature .npy is given")
 
     # common model config
     parser.add_argument("--base-model", type=str, default="attention",

@@ -246,6 +246,12 @@ def _example_input(args, model):
     seq = jnp.zeros((1, n, args.num_feature), jnp.float32)
     mask = jnp.ones((1, n), bool)
     if model_needs_motion(model):
+        # the template's motion width only shapes a throwaway init;
+        # flax from_bytes restores the CHECKPOINT's own array shapes
+        # (structure match is what matters, and the cross-attention
+        # module tree is width-independent) — so a non-1024 motion
+        # checkpoint restores fine (pinned by
+        # test_evaluate_cli_motion_roundtrip_nonstandard_width)
         motion = jnp.zeros((1, n, 1024), jnp.float32)
         return (seq, motion, mask, mask)
     return (seq, mask)

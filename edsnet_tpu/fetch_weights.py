@@ -152,11 +152,20 @@ def main(argv=None) -> int:
                         help="fetch every known weight file")
     parser.add_argument("--verify", action="store_true",
                         help="only check hashes of already-cached files")
+    parser.add_argument("--pin", action="store_true",
+                        help="with --verify: also print each cached "
+                             "file's FULL sha256 as a paste-ready "
+                             "sha256_full line for WEIGHTS")
     args = parser.parse_args(argv)
 
     names = list(WEIGHTS) if args.all else args.models
-    action = verify if args.verify else fetch
-    results = {name: action(name) for name in names}
+    if args.verify:
+        results = {name: verify(name, pin=args.pin) for name in names}
+    else:
+        results = {name: fetch(name) for name in names}
+        if args.pin:   # pin straight after the first fetch
+            results = {name: results[name] and verify(name, pin=True)
+                       for name in names}
     return 0 if all(results.values()) else 1
 
 

@@ -17,14 +17,15 @@ from edsnet_tpu.utils import checkpoint as ckpt_lib
 
 
 def summarize_video(model, variables, seq: np.ndarray, cps, n_frames, nfps,
-                    picks, nms_thresh: float,
-                    bucket_size: int = 64) -> np.ndarray:
+                    picks, nms_thresh: float, bucket_size: int = 64,
+                    motion: np.ndarray | None = None) -> np.ndarray:
     """features -> binary frame summary (shared by infer + tests).
 
     The sequence is padded to a length bucket and predict + NMS run through
     the same jitted bucketed program as evaluation, so videos of different
     lengths share one XLA compile per bucket (per-exact-length compiles are
-    pathological on a remote-compile platform).
+    pathological on a remote-compile platform).  ``motion`` (aligned
+    [seq_len, D] rows) is required iff the model consumes motion features.
     """
     from edsnet_tpu.evaluate import _predict_nms
     from edsnet_tpu.ops.anchors import anchor_scales_list
@@ -37,9 +38,17 @@ def summarize_video(model, variables, seq: np.ndarray, cps, n_frames, nfps,
     scales = getattr(model, "anchor_scales", None)
     num_scales = len(anchor_scales_list(scales)) if scales is not None else 1
 
+    motion_kw = {}
+    if motion is not None:
+        m = np.zeros((1, blen, motion.shape[-1]), np.float32)
+        m[0, :seq_len] = motion[:seq_len]
+        motion_kw = {"motion": jnp.asarray(m),
+                     "motion_mask": jnp.asarray(mask)}
+
     pred_cls, boxes, keeps = _predict_nms(
         model, variables, jnp.asarray(x), jnp.asarray(mask),
-        jnp.asarray([seq_len], np.int32), num_scales, nms_thresh)
+        jnp.asarray([seq_len], np.int32), num_scales, nms_thresh,
+        **motion_kw)
     pred_cls = np.asarray(pred_cls)[0]
     boxes = np.asarray(boxes)[0]
     keep_idx = np.where(np.asarray(keeps)[0])[0]
@@ -74,16 +83,46 @@ def main():
                                                       False))
     n_frames, seq, cps, nfps, picks = video_proc.run(args.source)
 
-    variables = ckpt_lib.load_checkpoint(
-        model, args.ckpt_path,
-        example_input=(jnp.zeros((1, args.bucket_size, args.num_feature),
-                                 jnp.float32),
-                       jnp.ones((1, args.bucket_size), bool)))
+    from edsnet_tpu.parallel.eval_device import model_needs_motion
+    motion = None
+    if model_needs_motion(model):
+        # motion models (--model-depth cross-attention) need one motion
+        # row per sampled frame; the reference CLI cannot serve them at
+        # all (src/infer.py:14 builds the model but its forward takes
+        # only one input).  Load a precomputed dump or compute one with
+        # the same extractor make_dataset's .npy dumps come from.
+        if args.motion_feature:
+            motion = np.load(args.motion_feature).astype(np.float32)
+        else:
+            from edsnet_tpu.data.motion import extract_motion_features
+            print(f"Extracting motion features ({args.motion_backend}) ...")
+            motion = extract_motion_features(
+                args.source, sample_rate=args.sample_rate,
+                backend=args.motion_backend)
+        if len(motion) < len(seq):
+            raise ValueError(
+                f"motion features cover {len(motion)} sampled frames but "
+                f"the video has {len(seq)} — regenerate the .npy at "
+                f"--sample-rate {args.sample_rate}")
+        motion = motion[:len(seq)]
+
+    seq_tpl = jnp.zeros((1, args.bucket_size, args.num_feature),
+                        jnp.float32)
+    mask_tpl = jnp.ones((1, args.bucket_size), bool)
+    if motion is not None:
+        example = (seq_tpl,
+                   jnp.zeros((1, args.bucket_size, motion.shape[-1]),
+                             jnp.float32),
+                   mask_tpl, mask_tpl)
+    else:
+        example = (seq_tpl, mask_tpl)
+    variables = ckpt_lib.load_checkpoint(model, args.ckpt_path,
+                                         example_input=example)
 
     print("Predicting summary ...")
     pred_summ = summarize_video(model, variables, seq, cps, n_frames, nfps,
                                 picks, args.nms_thresh,
-                                bucket_size=args.bucket_size)
+                                bucket_size=args.bucket_size, motion=motion)
 
     print("Writing summary video ...")
     cap = cv2.VideoCapture(args.source)

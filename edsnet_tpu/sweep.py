@@ -47,12 +47,17 @@ def missing_datasets(split_path: Path, data_root: str):
     return sorted(missing)
 
 
-def eval_diversity(train_args, split_path: Path) -> dict:
+def eval_diversity(train_args, split_path: Path) -> tuple:
     """Per-fold summary diversity from the best checkpoints, the second
     column the reference's evaluator logs next to F-score
     (`/root/reference/src/evaluate.py:36-38`, metric defined at
-    vsumm_helper.py:119-140).  Runs the device eval path on each fold's
-    saved best checkpoint after training."""
+    vsumm_helper.py:119-140).
+
+    The trainer's per-epoch device eval tracks F only, so diversity
+    costs one post-training eval pass per fold on the flushed best
+    checkpoint; the F-score that pass computes anyway is returned too
+    as ``fscores_from_ckpt`` — a free integrity cross-check that the
+    on-disk checkpoint reproduces the training-time best F."""
     import yaml
 
     from edsnet_tpu.data.dataset import VideoDataset, get_ckpt_path
@@ -62,7 +67,7 @@ def eval_diversity(train_args, split_path: Path) -> dict:
     from edsnet_tpu.utils import checkpoint as ckpt_lib
 
     model = get_model(train_args.model, **vars(train_args))
-    divs = {}
+    divs, ckpt_fs = {}, {}
     folds = yaml.safe_load(Path(split_path).read_text())
     for fold_idx, fold in enumerate(folds):
         ckpt_path = get_ckpt_path(train_args.model_dir, split_path,
@@ -72,14 +77,15 @@ def eval_diversity(train_args, split_path: Path) -> dict:
             example_input=_example_input(train_args, model))
         val_set = VideoDataset(fold["test_keys"], train_args.data_root)
         records = [val_set[i] for i in range(len(val_set))]
-        _, diversity = evaluate_on_device(
+        fscore, diversity = evaluate_on_device(
             model, variables, records, train_args.nms_thresh,
             batch_size=max(train_args.batch_size, 1),
             bucket_size=train_args.bucket_size)
         divs[f"split{fold_idx}"] = float(diversity)
+        ckpt_fs[f"split{fold_idx}"] = float(fscore)
     vals = list(divs.values())
     divs["mean"] = sum(vals) / max(len(vals), 1)
-    return divs
+    return divs, ckpt_fs
 
 
 def run_sweep(argv=None) -> dict:
@@ -149,7 +155,8 @@ def run_sweep(argv=None) -> dict:
             results = train_split_file(train_args, split_path)
             entry["status"] = "ok"
             entry["fscores"] = results
-            entry["diversity"] = eval_diversity(train_args, split_path)
+            entry["diversity"], entry["fscores_from_ckpt"] = \
+                eval_diversity(train_args, split_path)
             entry["wall_clock_s"] = round(time.time() - t0, 1)
             print(f"[{setting}/{split_path.stem}] mean F-score "
                   f"{results['mean']:.4f} diversity "

@@ -3,7 +3,7 @@ import numpy as np
 import yaml
 
 
-def _write_motion_h5(tmp_path, rng):
+def _write_motion_h5(tmp_path, rng, motion_dim=1024):
     import h5py
     h5_path = tmp_path / "mock_tvsum.h5"
     with h5py.File(h5_path, "w") as f:
@@ -20,7 +20,8 @@ def _write_motion_h5(tmp_path, rng):
             g["picks"] = np.arange(n_seq, dtype=np.int32) * 15
             g["user_summary"] = (rng.rand(2, n_frames) > 0.8).astype(
                 np.float32)
-            g["motion_features"] = rng.randn(n_seq, 1024).astype(np.float32)
+            g["motion_features"] = rng.randn(n_seq, motion_dim).astype(
+                np.float32)
     keys = [f"d/mock_tvsum.h5/video_{i}" for i in range(3)]
     split_path = tmp_path / "mock.yml"
     with open(split_path, "w") as f:
@@ -62,6 +63,30 @@ def test_evaluate_cli_motion_roundtrip(tmp_path, capsys):
               "--model-dir", str(tmp_path / "m")]
     train_main(MOTION_ARGS + common)
     train_f = yaml.safe_load((tmp_path / "m" / "mock.yml").read_text())["mean"]
+
+    eval_main(MOTION_ARGS + common)
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("mock:")][-1]
+    eval_f = float(line.rsplit("F-score:", 1)[1])
+    assert abs(eval_f - train_f) < 1e-3
+
+
+def test_evaluate_cli_motion_roundtrip_nonstandard_width(tmp_path, capsys):
+    """Same roundtrip with 512-wide motion features: evaluate's restore
+    template hardcodes a 1024 motion width, which is fine ONLY because
+    flax from_bytes keeps the checkpoint's own shapes (structure match,
+    not shape match) — this pins that contract so a flax behavior change
+    or a template refactor can't silently break non-I3D motion widths."""
+    from edsnet_tpu.evaluate import main as eval_main
+    from edsnet_tpu.train import main as train_main
+
+    split_path = _write_motion_h5(tmp_path, np.random.RandomState(3),
+                                  motion_dim=512)
+    common = ["--splits", str(split_path), "--data-root", str(tmp_path),
+              "--model-dir", str(tmp_path / "m512")]
+    train_main(MOTION_ARGS + common)
+    train_f = yaml.safe_load(
+        (tmp_path / "m512" / "mock.yml").read_text())["mean"]
 
     eval_main(MOTION_ARGS + common)
     out = capsys.readouterr().out

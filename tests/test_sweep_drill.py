@@ -104,6 +104,12 @@ def test_canonical_paper_matrix_drill(tmp_path):
         assert set(diversity) == set(fscores), (stem, diversity)
         for k, v in diversity.items():
             assert np.isfinite(v), (stem, k, diversity)
+        # checkpoint integrity cross-check: re-evaluating the flushed
+        # best checkpoint reproduces the training-time best F per fold
+        ckpt_f = entry["fscores_from_ckpt"]
+        for k in folds:
+            assert abs(ckpt_f[k] - fscores[k]) < 1e-3, (stem, k, ckpt_f,
+                                                        fscores)
         # per-fold best checkpoints on the reference's naming contract
         for i in range(expected_folds[stem]):
             ckpt = (tmp_path / "models" / "canonical" / stem / "checkpoint"

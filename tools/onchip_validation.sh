@@ -28,21 +28,25 @@ if ! timeout 90 python -c "import jax, jax.numpy as jnp; (jnp.ones((64,64))@jnp.
     exit 1
 fi
 
+fail=0
+
 echo "--- bench.py ---" >> "$LOG"
-timeout 2400 python bench.py >> "$LOG" 2>&1
+# stale emissions (bench.py re-printing a cached number through a wedge)
+# must count as failure here — the whole point of this batch is FRESH data
+EDSNET_BENCH_STALE_EXIT_CODE=3 timeout 2400 python bench.py >> "$LOG" 2>&1 || { echo "bench.py FAILED/wedged/stale (rc $?)" >> "$LOG"; fail=1; }
 
 echo "--- train-step batch scaling (prefix-sum landmarks) ---" >> "$LOG"
 for b in 8 16 32 64; do
-    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 >> "$LOG" 2>&1
+    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 >> "$LOG" 2>&1 || { echo "bench_train_step B=$b FAILED/wedged (rc $?)" >> "$LOG"; fail=1; }
 done
 
 echo "--- train-step bf16 (the production TPU default) ---" >> "$LOG"
 for b in 8 64; do
-    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 --compute-dtype bfloat16 >> "$LOG" 2>&1
+    timeout 900 python benchmarks/bench_train_step.py --batch $b --seq 512 --compute-dtype bfloat16 >> "$LOG" 2>&1 || { echo "bench_train_step bf16 B=$b FAILED/wedged (rc $?)" >> "$LOG"; fail=1; }
 done
 
 echo "--- flash parity/speed (default + highest) ---" >> "$LOG"
-timeout 900 python benchmarks/bench_flash_parity.py 2048 >> "$LOG" 2>&1
+timeout 900 python benchmarks/bench_flash_parity.py 2048 >> "$LOG" 2>&1 || { echo "bench_flash_parity FAILED/wedged (rc $?)" >> "$LOG"; fail=1; }
 
 echo "--- step breakdown ---" >> "$LOG"
 timeout 900 python benchmarks/bench_step_breakdown.py >> "$LOG" 2>&1 || true
@@ -50,5 +54,9 @@ timeout 900 python benchmarks/bench_step_breakdown.py >> "$LOG" 2>&1 || true
 echo "--- roofline (compiled cost model vs measured, f32+bf16) ---" >> "$LOG"
 timeout 900 python benchmarks/bench_hlo_cost.py --measure >> "$LOG" 2>&1 || true
 
-echo "=== done $(stamp) ===" >> "$LOG"
+# exit nonzero when any REQUIRED measurement wedged/failed so the
+# watchdog keeps probing instead of declaring DONE on an empty batch
+# (breakdown/roofline above stay best-effort)
+echo "=== done $(stamp) rc=$fail ===" >> "$LOG"
 tail -40 "$LOG"
+exit $fail
