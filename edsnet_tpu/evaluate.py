@@ -194,14 +194,8 @@ def main(argv=None):
         stats = AverageMeter("fscore", "diversity")
 
         for split_idx, split in enumerate(splits):
-            ckpt_path = get_ckpt_path(args.model_dir, split_path, split_idx)
-            variables = ckpt_lib.load_checkpoint(
-                model, ckpt_path,
-                example_input=_example_input(args, model))
-
-            val_set = VideoDataset(split["test_keys"], args.data_root)
-            records = [val_set[i] for i in range(len(val_set))]
             audit = None
+            eval_fn = None  # default: the jitted device evaluator
             eval_kwargs = {}
             if getattr(args, "knapsack_audit", False):
                 # the audit compares host solvers, so it rides the host path
@@ -210,14 +204,9 @@ def main(argv=None):
                 eval_kwargs["knapsack_audit"] = audit
             elif getattr(args, "host_eval", False):
                 eval_fn = evaluate
-            else:
-                from edsnet_tpu.parallel.eval_device import evaluate_on_device
-                eval_fn = evaluate_on_device
-            fscore, diversity = eval_fn(model, variables, records,
-                                        args.nms_thresh,
-                                        batch_size=max(args.batch_size, 1),
-                                        bucket_size=args.bucket_size,
-                                        **eval_kwargs)
+            fscore, diversity = eval_fold_from_checkpoint(
+                args, model, split_path, split_idx, split["test_keys"],
+                eval_fn=eval_fn, **eval_kwargs)
             if audit is not None:
                 msg = audit.report()
                 logger.info(msg)
@@ -232,6 +221,30 @@ def main(argv=None):
                f"F-score: {stats.fscore:.4f}")
         logger.info(msg)
         print(msg)
+
+
+def eval_fold_from_checkpoint(args, model, split_path, fold_idx: int,
+                              test_keys, eval_fn=None, **eval_kwargs):
+    """Restore one fold's best checkpoint and evaluate it on its test
+    keys -> ``(fscore, diversity)``.
+
+    The single home of the restore-template + device-eval sequence:
+    ``main`` and ``sweep.eval_diversity`` both ride it, so a change to
+    checkpoint naming, restore templates, or the evaluator signature
+    happens once.  ``eval_fn=None`` selects the jitted device evaluator;
+    ``main``'s audit/host debug paths pass the host ``evaluate``.
+    """
+    ckpt_path = get_ckpt_path(args.model_dir, split_path, fold_idx)
+    variables = ckpt_lib.load_checkpoint(
+        model, ckpt_path, example_input=_example_input(args, model))
+    val_set = VideoDataset(test_keys, args.data_root)
+    records = [val_set[i] for i in range(len(val_set))]
+    if eval_fn is None:
+        from edsnet_tpu.parallel.eval_device import evaluate_on_device
+        eval_fn = evaluate_on_device
+    return eval_fn(model, variables, records, args.nms_thresh,
+                   batch_size=max(args.batch_size, 1),
+                   bucket_size=args.bucket_size, **eval_kwargs)
 
 
 def _example_input(args, model):

@@ -104,7 +104,10 @@ def verify(name: str, pin: bool = False) -> bool:
         print(f"{name}: not cached ({path})")
         return False
     spec = WEIGHTS[name]
-    digest = hashlib.sha256(path.read_bytes()).hexdigest()
+    with path.open("rb") as f:
+        # stream: these checkpoints are hundreds of MB (read_bytes would
+        # hold the whole file in RAM on the constrained tunnel host)
+        digest = hashlib.file_digest(f, "sha256").hexdigest()
     if pin:
         print(f'        "sha256_full": "{digest}",   # {name}')
     if spec.get("sha256_full"):

@@ -60,6 +60,46 @@ def summarize_video(model, variables, seq: np.ndarray, cps, n_frames, nfps,
         picks)
 
 
+def _load_motion(args, seq_len: int, width: int) -> np.ndarray:
+    """Load (--motion-feature .npy) or extract (--motion-backend) motion
+    features and validate them against the RESTORED checkpoint: exact
+    feature width, and one row per sampled frame.
+
+    Both checks fail loudly instead of silently mis-serving: a dump made
+    at a different --sample-rate would otherwise be truncated to motion
+    from the wrong timestamps, and a width mismatch would surface only as
+    an opaque XLA dot-dimension error.  A <=2-row tail surplus is
+    tolerated (codecs can report a few more frames than cv2 decodes).
+    """
+    if args.motion_feature:
+        motion = np.load(args.motion_feature).astype(np.float32)
+        source = args.motion_feature
+    else:
+        from edsnet_tpu.data.motion import extract_motion_features
+        if width != 1024:
+            raise ValueError(
+                f"the checkpoint's cross-attention expects {width}-wide "
+                f"motion features but the on-the-fly "
+                f"{args.motion_backend} extractor emits 1024 — pass a "
+                f"--motion-feature .npy of the right width")
+        print(f"Extracting motion features ({args.motion_backend}) ...")
+        motion = extract_motion_features(
+            args.source, sample_rate=args.sample_rate,
+            backend=args.motion_backend)
+        source = f"--motion-backend {args.motion_backend}"
+    if motion.ndim != 2 or motion.shape[-1] != width:
+        raise ValueError(
+            f"motion features from {source} have shape "
+            f"{tuple(motion.shape)} but the checkpoint's cross-attention "
+            f"expects width {width}")
+    if not seq_len <= len(motion) <= seq_len + 2:
+        raise ValueError(
+            f"motion features cover {len(motion)} sampled frames but the "
+            f"video has {seq_len} — regenerate the .npy at "
+            f"--sample-rate {args.sample_rate}")
+    return motion[:seq_len]
+
+
 def main():
     import cv2
 
@@ -77,47 +117,45 @@ def main():
     print("Loading model ...")
     model = get_model(args.model, **vars(args))
 
+    from edsnet_tpu.parallel.eval_device import (checkpoint_motion_width,
+                                                 model_needs_motion)
+    needs_motion = model_needs_motion(model)
+    if args.motion_feature and not needs_motion:
+        raise ValueError(
+            "--motion-feature given but the model is not a motion "
+            "(cross-attention) model — did you forget "
+            "--model-depth cross-attention?")
+
     print("Preprocessing source video ...")
     video_proc = VideoPreprocessor(args.sample_rate, args.feature_extractor,
                                    device_kts=getattr(args, "device_kts",
                                                       False))
     n_frames, seq, cps, nfps, picks = video_proc.run(args.source)
 
-    from edsnet_tpu.parallel.eval_device import model_needs_motion
-    motion = None
-    if model_needs_motion(model):
-        # motion models (--model-depth cross-attention) need one motion
-        # row per sampled frame; the reference CLI cannot serve them at
-        # all (src/infer.py:14 builds the model but its forward takes
-        # only one input).  Load a precomputed dump or compute one with
-        # the same extractor make_dataset's .npy dumps come from.
-        if args.motion_feature:
-            motion = np.load(args.motion_feature).astype(np.float32)
-        else:
-            from edsnet_tpu.data.motion import extract_motion_features
-            print(f"Extracting motion features ({args.motion_backend}) ...")
-            motion = extract_motion_features(
-                args.source, sample_rate=args.sample_rate,
-                backend=args.motion_backend)
-        if len(motion) < len(seq):
-            raise ValueError(
-                f"motion features cover {len(motion)} sampled frames but "
-                f"the video has {len(seq)} — regenerate the .npy at "
-                f"--sample-rate {args.sample_rate}")
-        motion = motion[:len(seq)]
-
     seq_tpl = jnp.zeros((1, args.bucket_size, args.num_feature),
                         jnp.float32)
     mask_tpl = jnp.ones((1, args.bucket_size), bool)
-    if motion is not None:
+    if needs_motion:
+        # the template's motion width only shapes a throwaway init; flax
+        # from_bytes restores the CHECKPOINT's own array shapes (pinned
+        # by test_evaluate_cli_motion_roundtrip_nonstandard_width)
         example = (seq_tpl,
-                   jnp.zeros((1, args.bucket_size, motion.shape[-1]),
-                             jnp.float32),
+                   jnp.zeros((1, args.bucket_size, 1024), jnp.float32),
                    mask_tpl, mask_tpl)
     else:
         example = (seq_tpl, mask_tpl)
     variables = ckpt_lib.load_checkpoint(model, args.ckpt_path,
                                          example_input=example)
+
+    motion = None
+    if needs_motion:
+        # motion models (--model-depth cross-attention) need one motion
+        # row per sampled frame; the reference CLI cannot serve them at
+        # all (src/infer.py:14 builds the model but its forward takes
+        # only one input).  Load a precomputed dump or compute one with
+        # the same extractor make_dataset's .npy dumps come from.
+        motion = _load_motion(args, len(seq),
+                              checkpoint_motion_width(variables))
 
     print("Predicting summary ...")
     pred_summ = summarize_video(model, variables, seq, cps, n_frames, nfps,

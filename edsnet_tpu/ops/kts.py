@@ -316,6 +316,11 @@ def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
     """
     K = np.asarray(K)
     n = K.shape[0]
+    # the device path caps the changepoint budget at n-1 (more than n-1
+    # segments is meaningless); apply the same cap BEFORE branching so the
+    # f64 fallback answers exactly where the device path answers instead
+    # of tripping cpd_auto's (m+1)*lmin <= n assertion
+    ncp = min(int(ncp), n - 1)
     # guard on the ORIGINAL values, before any f32 cast loses precision
     if n * n * float(np.abs(K).max(initial=0.0)) > _DEVICE_F32_CRIT:
         kw = {} if lmax is None else {"lmax": lmax}
@@ -327,7 +332,7 @@ def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
     K_pad[:n, :n] = K
     cps, valid, scores, m_best = _cpd_auto_device_core(
         jnp.asarray(K_pad), jnp.asarray(n, jnp.int32),
-        jnp.asarray(min(int(ncp), n - 1), jnp.int32),
+        jnp.asarray(ncp, jnp.int32),
         jnp.asarray(vmax, jnp.float32), lmin, lmax, desc_rate)
     m_best = int(m_best)
     cps = np.asarray(cps)[np.asarray(valid)]

@@ -209,6 +209,33 @@ def model_needs_motion(model) -> bool:
     return isinstance(model, DSNetMotionFeatures)
 
 
+def checkpoint_motion_width(variables) -> int:
+    """Motion-feature width a restored motion checkpoint expects.
+
+    flax ``from_bytes`` keeps the CHECKPOINT's array shapes (the restore
+    template only fixes the module tree), so the width has to be read
+    back from the restored params: the cross-attention key projection
+    consumes the motion memory, and its flax MHA kernel is
+    ``[in_features, num_heads, head_dim]``."""
+    from collections.abc import Mapping
+
+    def find(tree):
+        if isinstance(tree, Mapping):
+            for name, sub in tree.items():
+                if name == "cross_attn":
+                    return int(sub["key"]["kernel"].shape[0])
+                got = find(sub)
+                if got is not None:
+                    return got
+        return None
+
+    width = find(variables["params"])
+    if width is None:
+        raise ValueError("no cross_attn projection in the checkpoint — "
+                         "not a motion (cross-attention) model?")
+    return width
+
+
 def _num_scales_of(model) -> int:
     num_scales = getattr(model, "anchor_scales", None)
     if num_scales is not None:

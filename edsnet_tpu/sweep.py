@@ -60,27 +60,15 @@ def eval_diversity(train_args, split_path: Path) -> tuple:
     on-disk checkpoint reproduces the training-time best F."""
     import yaml
 
-    from edsnet_tpu.data.dataset import VideoDataset, get_ckpt_path
-    from edsnet_tpu.evaluate import _example_input
+    from edsnet_tpu.evaluate import eval_fold_from_checkpoint
     from edsnet_tpu.models.model_zoo import get_model
-    from edsnet_tpu.parallel.eval_device import evaluate_on_device
-    from edsnet_tpu.utils import checkpoint as ckpt_lib
 
     model = get_model(train_args.model, **vars(train_args))
     divs, ckpt_fs = {}, {}
     folds = yaml.safe_load(Path(split_path).read_text())
     for fold_idx, fold in enumerate(folds):
-        ckpt_path = get_ckpt_path(train_args.model_dir, split_path,
-                                  fold_idx)
-        variables = ckpt_lib.load_checkpoint(
-            model, ckpt_path,
-            example_input=_example_input(train_args, model))
-        val_set = VideoDataset(fold["test_keys"], train_args.data_root)
-        records = [val_set[i] for i in range(len(val_set))]
-        fscore, diversity = evaluate_on_device(
-            model, variables, records, train_args.nms_thresh,
-            batch_size=max(train_args.batch_size, 1),
-            bucket_size=train_args.bucket_size)
+        fscore, diversity = eval_fold_from_checkpoint(
+            train_args, model, split_path, fold_idx, fold["test_keys"])
         divs[f"split{fold_idx}"] = float(diversity)
         ckpt_fs[f"split{fold_idx}"] = float(fscore)
     vals = list(divs.values())

@@ -72,3 +72,101 @@ def test_infer_cli_motion_model(tmp_path, monkeypatch, precomputed):
     infer.main()
 
     assert save_path.exists() and save_path.stat().st_size > 0
+
+
+def _motion_args(**kw):
+    import argparse
+    base = dict(motion_feature=None, motion_backend="flowdiff",
+                sample_rate=15, source="unused.mp4")
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_load_motion_validation(tmp_path):
+    """The motion loader fails loudly instead of silently mis-serving:
+    width mismatches (otherwise an opaque XLA dot error), length
+    mismatches (a dump from a different --sample-rate would otherwise be
+    truncated to motion from the wrong timestamps), and non-1024
+    checkpoints with the 1024-wide on-the-fly extractor."""
+    from edsnet_tpu.infer import _load_motion
+
+    rng = np.random.RandomState(0)
+    good = tmp_path / "good.npy"
+    np.save(good, rng.randn(20, 16).astype(np.float32))
+
+    out = _load_motion(_motion_args(motion_feature=str(good)), 20, 16)
+    assert out.shape == (20, 16)
+
+    with pytest.raises(ValueError, match="expects width"):
+        _load_motion(_motion_args(motion_feature=str(good)), 20, 32)
+
+    # 3x the rows (dump made at --sample-rate 5) must NOT silently truncate
+    over = tmp_path / "over.npy"
+    np.save(over, rng.randn(60, 16).astype(np.float32))
+    with pytest.raises(ValueError, match="sampled frames"):
+        _load_motion(_motion_args(motion_feature=str(over)), 20, 16)
+
+    with pytest.raises(ValueError, match="sampled frames"):  # too few
+        _load_motion(_motion_args(motion_feature=str(good)), 24, 16)
+
+    # <=2-row tail surplus tolerated (codec frame-count slack)
+    over1 = tmp_path / "over1.npy"
+    np.save(over1, rng.randn(21, 16).astype(np.float32))
+    assert _load_motion(_motion_args(motion_feature=str(over1)),
+                        20, 16).shape == (20, 16)
+
+    # on-the-fly extractor emits 1024-d: a non-1024 checkpoint must fail
+    # with a clear message BEFORE extraction (no video touched)
+    with pytest.raises(ValueError, match="emits 1024"):
+        _load_motion(_motion_args(), 20, 512)
+
+
+def test_checkpoint_motion_width():
+    """The motion width a checkpoint expects is read back from its
+    restored cross-attention key projection (flax from_bytes keeps the
+    CHECKPOINT's shapes, so the restore template cannot be trusted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edsnet_tpu.models.model_zoo import get_model
+    from edsnet_tpu.parallel.eval_device import checkpoint_motion_width
+
+    model = get_model("anchor-based", model_depth="cross-attention",
+                      base_model="attention", num_feature=16,
+                      num_hidden=8, anchor_scales=(4,), num_head=2,
+                      fc_depth=1, attention_depth=1,
+                      encoder_type="classic", orientation="paper",
+                      pooling_type="roi")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 12, 16)),
+                           jnp.zeros((1, 12, 24)),   # 24-wide motion
+                           jnp.ones((1, 12), bool), jnp.ones((1, 12), bool))
+    assert checkpoint_motion_width(variables) == 24
+
+    plain = get_model("anchor-based", base_model="linear", num_feature=16,
+                      num_hidden=8, anchor_scales=(4,), num_head=2,
+                      fc_depth=1, attention_depth=1,
+                      encoder_type="classic", orientation="paper",
+                      pooling_type="roi")
+    plain_vars = plain.init(rngs, jnp.zeros((1, 12, 16)),
+                            jnp.ones((1, 12), bool))
+    with pytest.raises(ValueError, match="cross_attn"):
+        checkpoint_motion_width(plain_vars)
+
+
+def test_motion_feature_with_non_motion_model_raises(tmp_path, monkeypatch):
+    """--motion-feature with a non-motion model is a configuration error,
+    not a silently ignored flag (the user believes motion conditioning
+    was applied).  Raises before any video/checkpoint IO."""
+    from edsnet_tpu import infer
+
+    argv = ["infer.py", "anchor-based", "--base-model", "linear",
+            "--num-hidden", "8", "--anchor-scales", "4", "--fc-depth", "1",
+            "--ckpt-path", str(tmp_path / "none.pt"),
+            "--source", str(tmp_path / "none.mp4"),
+            "--save-path", str(tmp_path / "out.mp4"),
+            "--motion-feature", str(tmp_path / "none.npy")]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(ValueError, match="cross-attention"):
+        infer.main()

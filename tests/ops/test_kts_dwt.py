@@ -222,3 +222,28 @@ def test_cpd_auto_device_falls_back_to_host_past_f32_bound():
     np.testing.assert_array_equal(np.asarray(host_cps),
                                   np.asarray(dev_cps))
     np.testing.assert_allclose(host_scores, dev_scores)
+
+
+def test_cpd_auto_device_fallback_clamps_ncp_like_device_path():
+    """ncp >= n answers on BOTH sides of the f32 criterion: the device
+    path caps the changepoint budget at n-1, and the f64 host fallback
+    must apply the same cap instead of tripping cpd_auto's
+    (m+1)*lmin <= n assertion — identical inputs except kernel magnitude
+    must not flip between answer and crash."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(3)
+    n = 80
+    feats = np.repeat(rng.randn(4, 8), 20, axis=0) + 0.05 * rng.randn(n, 8)
+    K_small = (feats @ feats.T).astype(np.float64)
+    K_big = K_small * 1e5
+    assert n * n * np.abs(K_small).max() <= kts._DEVICE_F32_CRIT
+    assert n * n * np.abs(K_big).max() > kts._DEVICE_F32_CRIT
+
+    # device path: already clamps (must keep answering)
+    kts.cpd_auto_device(K_small, n, 1)
+    # fallback path with the over-budget ncp == host at the clamped budget
+    host_cps, host_scores = kts.cpd_auto(K_big, n - 1, 1)
+    fb_cps, fb_scores = kts.cpd_auto_device(K_big, n, 1)
+    np.testing.assert_array_equal(np.asarray(host_cps), np.asarray(fb_cps))
+    np.testing.assert_allclose(host_scores, fb_scores)
