@@ -42,6 +42,22 @@ def make_model_mesh(num_devices: int = 0) -> Mesh:
     return Mesh(np.asarray(devices[:n]), ("model",))
 
 
+def make_dp_tp_mesh(dp: int, tp: int) -> Mesh:
+    """2-D ``('data', 'model')`` mesh: batch-of-videos axis over ``dp``
+    devices x attention heads over ``tp``.  ``shard_batch``'s
+    ``P('data')`` and ``tp_shardings``'s ``P(..., 'model')`` specs both
+    leave the other axis unmentioned (= replicated over it), so the
+    data-parallel batch layout and the head-sharded params compose on
+    this mesh without touching the jitted train step — XLA inserts the
+    gradient psum over ``data`` and the fc all-reduce over ``model``.
+    On a real pod, lay ``model`` on the minor (fastest-ICI) mesh axis."""
+    devices = jax.devices()
+    if len(devices) < dp * tp:
+        raise ValueError(f"need {dp}x{tp} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:dp * tp]).reshape(dp, tp),
+                ("data", "model"))
+
+
 def tp_shardings(variables, mesh: Mesh, num_heads: int):
     """NamedSharding pytree matching ``variables``: attention projections
     head-sharded over the mesh's ``model`` axis, everything else

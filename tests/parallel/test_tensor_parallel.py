@@ -104,3 +104,76 @@ def test_tp_rejects_split_heads():
                            jnp.ones((1, 16), bool))
     with pytest.raises(ValueError, match="whole heads"):
         shard_params_tp(variables, make_model_mesh(n_dev), num_heads=h)
+
+
+def test_dp_tp_train_step_matches_dp_only():
+    """The FULL jitted anchor-based train step runs unchanged on a 2-D
+    ('data','model') mesh — batch sharded over data, attention heads over
+    model (make_dp_tp_mesh composes shard_batch's P('data') with
+    tp_shardings' P(...,'model')) — and its 3-step loss trajectory matches
+    the pure-dp replicated-params run on identical shapes and seeds."""
+    from edsnet_tpu.models.model_zoo import get_model
+    from edsnet_tpu.parallel import make_mesh, shard_batch
+    from edsnet_tpu.parallel.steps import (TrainState, ab_train_step,
+                                           make_optimizer)
+    from edsnet_tpu.parallel.tensor_parallel import make_dp_tp_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 4:
+        pytest.skip("needs >=4 devices for a 2x2 mesh")
+    dp, tp = n_dev // 2, 2
+    feat, n, h = 32, 32, 2
+    scales = (4, 8)
+    s = len(scales)
+    b = dp
+    rng = np.random.RandomState(0)
+    batch = {
+        "seq": rng.randn(b, n, feat).astype(np.float32),
+        "mask": np.ones((b, n), bool),
+        "video_valid": np.ones((b,), bool),
+        "cls_pos": (rng.rand(b, n, s) > 0.9).astype(np.int32),
+        "loc_label": rng.randn(b, n, s, 2).astype(np.float32) * 0.1,
+        "neg_eligible": rng.rand(b, n, s) > 0.5,
+        "inc_eligible": rng.rand(b, n, s) > 0.8,
+        "num_pos": np.full((b,), 4, np.int32),
+    }
+
+    model = get_model(
+        "anchor-based", model_depth="shallow", base_model="attention",
+        num_feature=feat, num_hidden=8, anchor_scales=scales, num_head=h,
+        fc_depth=1, attention_depth=2, encoder_type="classic",
+        orientation="paper", pooling_type="roi")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.asarray(batch["seq"]),
+                           jnp.asarray(batch["mask"]))
+
+    def run(mesh, place_params):
+        # the jitted step donates the state, so each run needs its own
+        # copies — donation would delete the shared `variables` buffers
+        fresh = jax.tree.map(jnp.copy, variables)
+        state = TrainState.create(
+            apply_fn=model.apply, params=place_params(fresh["params"]),
+            tx=make_optimizer(5e-5, 1e-5),
+            constants={k: v for k, v in fresh.items() if k != "params"})
+        dev_batch = shard_batch(batch, mesh)
+        losses = []
+        for i in range(3):
+            state, metrics = ab_train_step(
+                state, dev_batch, jax.random.PRNGKey(2 + i), lambda_reg=1.0,
+                neg_ratio=2.0, inc_ratio=1.0)
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    losses_dp, _ = run(make_mesh(dp), lambda p: p)
+
+    mesh2d = make_dp_tp_mesh(dp, tp)
+    tp_place = lambda p: shard_params_tp(p, mesh2d, num_heads=h)
+    losses_tp, state_tp = run(mesh2d, tp_place)
+
+    np.testing.assert_allclose(losses_tp, losses_dp, rtol=1e-4, atol=1e-5)
+    # params are STILL head-sharded after the optimizer update (the step
+    # did not silently regather them)
+    leaf_specs = [x.sharding.spec for x in jax.tree.leaves(state_tp.params)]
+    assert any("model" in str(spec) for spec in leaf_specs), \
+        "updated params lost their tensor-parallel sharding"
