@@ -141,6 +141,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-devices", type=int, default=0,
                         help="data-parallel mesh size (0 = all local "
                              "devices)")
+    parser.add_argument("--tensor-parallel", type=int, default=0,
+                        help="shard attention heads over a 'model' mesh "
+                             "axis of this size (Megatron-style, "
+                             "parallel/tensor_parallel.py), combined with "
+                             "the data axis: devices = dp x this. "
+                             "--num-head must be a multiple; 0/1 = off")
     parser.add_argument("--pad-batch-to", type=int, default=0,
                         help="pad every batch's video axis to a multiple "
                              "of this (0 = mesh size); fixing it keeps "

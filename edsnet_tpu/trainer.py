@@ -37,7 +37,7 @@ from edsnet_tpu.utils.profiling import StepTimer, maybe_trace
 logger = logging.getLogger()
 
 
-def _init_state(model, args, sample_batch) -> TrainState:
+def _init_state(model, args, sample_batch, place_params=None) -> TrainState:
     rngs = {"params": jax.random.PRNGKey(args.seed),
             "dropout": jax.random.PRNGKey(args.seed + 1)}
     if "motion" in sample_batch:
@@ -49,6 +49,10 @@ def _init_state(model, args, sample_batch) -> TrainState:
         variables = model.init(rngs, jnp.asarray(sample_batch["seq"]),
                                jnp.asarray(sample_batch["mask"]))
     params = variables["params"]
+    if place_params is not None:
+        # placing BEFORE optimizer init makes the Adam moments inherit
+        # the same shardings (zeros_like preserves placement)
+        params = place_params(params)
     constants = {k: v for k, v in variables.items() if k != "params"}
     tx = make_optimizer(args.lr, args.weight_decay)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx,
@@ -107,11 +111,28 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
             raise ValueError(
                 f"model-depth cross-attention needs 'motion_features' in "
                 f"the h5 for every video; missing for {missing[:3]}...")
-    mesh = make_mesh(args.num_devices)
+    tp = int(getattr(args, "tensor_parallel", 0) or 0)
+    place_params = None
+    if tp > 1:
+        # 2-D ('data','model') mesh: batch over dp devices, attention
+        # heads over tp (Megatron-style; parallel/tensor_parallel.py).
+        # The jitted steps are unchanged — XLA inserts the gradient psum
+        # over data and the per-layer fc all-reduce over model.
+        from edsnet_tpu.parallel.tensor_parallel import (make_dp_tp_mesh,
+                                                         shard_params_tp)
+        total = args.num_devices or len(jax.devices())
+        if total % tp:
+            raise ValueError(f"--tensor-parallel {tp} must divide the "
+                             f"device count {total}")
+        mesh = make_dp_tp_mesh(total // tp, tp)
+        place_params = lambda p: shard_params_tp(p, mesh, args.num_head)
+    else:
+        mesh = make_mesh(args.num_devices)
     # batch rows are padded to a multiple of this; --pad-batch-to fixes it
     # above the mesh size so batch shapes (and hence dropout/negative-
-    # sampling RNG streams) are identical whatever the mesh
-    mesh_n = mesh.devices.size
+    # sampling RNG streams) are identical whatever the mesh.  Rows shard
+    # over the DATA axis only, so that is the padding quantum.
+    mesh_n = int(mesh.shape["data"])
     pad_to = int(getattr(args, "pad_batch_to", 0) or 0)
     n_dev = -(-max(pad_to, mesh_n) // mesh_n) * mesh_n
     rng = np.random.RandomState(args.seed)
@@ -120,7 +141,12 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     first_batch = next(batching.batch_items(
         items, args.batch_size, args.bucket_size, shuffle=False,
         pad_batch_to=n_dev))
-    state = _init_state(model, args, first_batch)
+    state = _init_state(model, args, first_batch, place_params=place_params)
+    if tp > 1 and not any(
+            "model" in str(x.sharding.spec)
+            for x in jax.tree.leaves(state.params)):
+        logger.warning(f"--tensor-parallel {tp} has no effect: base model "
+                       f"'{args.base_model}' has no attention modules")
 
     max_val_fscore = -1.0
     start_epoch = 0

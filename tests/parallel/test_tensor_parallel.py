@@ -177,3 +177,60 @@ def test_dp_tp_train_step_matches_dp_only():
     leaf_specs = [x.sharding.spec for x in jax.tree.leaves(state_tp.params)]
     assert any("model" in str(spec) for spec in leaf_specs), \
         "updated params lost their tensor-parallel sharding"
+
+
+def test_trainer_tensor_parallel_flag_matches_dp(tmp_path):
+    """`--tensor-parallel 2` trains the attention model end-to-end through
+    trainer.train on a (dp=4, tp=2) mesh — params head-sharded before the
+    optimizer init so Adam moments inherit the sharding — and lands on the
+    same best F-score as the pure-dp run with identical padded batch
+    shapes and seeds."""
+    import h5py
+
+    from edsnet_tpu.config import get_arguments
+    from edsnet_tpu.trainer import train
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8 virtual devices")
+
+    feat = 16
+    rng = np.random.RandomState(11)
+    n_total = 7
+    with h5py.File(tmp_path / "tp.h5", "w") as f:
+        for i in range(n_total):
+            n_seq = int(rng.choice([18, 24]))
+            n_frames = n_seq * 15
+            g = f.create_group(f"video_{i}")
+            feats = rng.randn(n_seq, feat).astype(np.float32)
+            g["features"] = feats / np.linalg.norm(feats, axis=-1,
+                                                   keepdims=True)
+            g["gtscore"] = rng.rand(n_seq).astype(np.float32)
+            bounds = np.linspace(0, n_frames, 11, dtype=np.int32)
+            g["change_points"] = np.stack([bounds[:-1], bounds[1:] - 1], 1)
+            g["n_frame_per_seg"] = bounds[1:] - bounds[:-1]
+            g["n_frames"] = n_frames
+            g["picks"] = np.arange(n_seq, dtype=np.int32) * 15
+            g["user_summary"] = (rng.rand(3, n_frames) > 0.8).astype(
+                np.float32)
+    keys = [f"../x/tp.h5/video_{i}" for i in range(n_total)]
+    split = {"train_keys": keys[:-2], "test_keys": keys[-2:]}
+
+    def _run(extra, tag):
+        args = get_arguments([
+            "anchor-based", "--base-model", "attention",
+            "--data-root", str(tmp_path),
+            "--model-dir", str(tmp_path / f"model_{tag}"),
+            "--max-epoch", "2", "--num-feature", str(feat),
+            "--num-hidden", "8", "--fc-depth", "1", "--num-head", "2",
+            "--attention-depth", "1", "--bucket-size", "32",
+            "--batch-size", "2", "--anchor-scales", "4", "8",
+            "--pad-batch-to", "4"] + extra)
+        ckpt_dir = tmp_path / f"model_{tag}" / "checkpoint"
+        ckpt_dir.mkdir(parents=True)
+        best, f1s, _ = train(args, split, ckpt_dir / "tp.yml.0.pt")
+        assert all(np.isfinite(f1s)), f1s
+        return best
+
+    best_dp = _run(["--num-devices", "4"], "dp")
+    best_tp = _run(["--num-devices", "8", "--tensor-parallel", "2"], "tp")
+    assert abs(best_dp - best_tp) < 1e-4, (best_dp, best_tp)
