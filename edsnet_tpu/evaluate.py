@@ -239,6 +239,18 @@ def eval_fold_from_checkpoint(args, model, split_path, fold_idx: int,
         model, ckpt_path, example_input=_example_input(args, model))
     val_set = VideoDataset(test_keys, args.data_root)
     records = [val_set[i] for i in range(len(val_set))]
+    from edsnet_tpu.parallel.eval_device import (checkpoint_motion_width,
+                                                 model_needs_motion)
+    if model_needs_motion(model):
+        # fail with a clear message instead of an opaque XLA dot error
+        # when the h5's motion width differs from the checkpoint's
+        widths = {r.motion_features.shape[-1] for r in records
+                  if r.motion_features is not None}
+        w_ckpt = checkpoint_motion_width(variables)
+        if widths and widths != {w_ckpt}:
+            raise ValueError(
+                f"h5 motion_features are {sorted(widths)}-wide but the "
+                f"checkpoint's cross-attention expects width {w_ckpt}")
     if eval_fn is None:
         from edsnet_tpu.parallel.eval_device import evaluate_on_device
         eval_fn = evaluate_on_device

@@ -112,3 +112,28 @@ def test_non_motion_model_ignores_motion_h5(tmp_path):
           "--anchor-scales", "4"])
     results = yaml.safe_load((tmp_path / "plain" / "mock.yml").read_text())
     assert 0.0 <= results["mean"] <= 1.0
+
+
+def test_evaluate_cli_motion_width_mismatch_raises(tmp_path):
+    """Evaluating a motion checkpoint against an h5 whose motion_features
+    width differs must fail with a clear message (checkpoint_motion_width
+    check in eval_fold_from_checkpoint), not an opaque XLA dot error."""
+    import pytest
+
+    from edsnet_tpu.evaluate import main as eval_main
+    from edsnet_tpu.train import main as train_main
+
+    a = tmp_path / "a"
+    a.mkdir()
+    split_a = _write_motion_h5(a, np.random.RandomState(3), motion_dim=512)
+    train_main(MOTION_ARGS + ["--splits", str(split_a),
+                              "--data-root", str(a),
+                              "--model-dir", str(a / "m")])
+
+    b = tmp_path / "b"
+    b.mkdir()
+    split_b = _write_motion_h5(b, np.random.RandomState(3), motion_dim=1024)
+    with pytest.raises(ValueError, match="expects width 512"):
+        eval_main(MOTION_ARGS + ["--splits", str(split_b),
+                                 "--data-root", str(b),
+                                 "--model-dir", str(a / "m")])
