@@ -56,27 +56,40 @@ def _ring_body(q_l, k_l, v_l, m_l, axis_name: str, scale: float):
     return acc / jnp.maximum(den, 1e-30)
 
 
-def ring_attention(q, k, v, mask=None, *, mesh, axis_name: str = "data"):
+def ring_attention(q, k, v, mask=None, *, mesh, axis_name: str = "data",
+                   batch_axis: str | None = None,
+                   head_axis: str | None = None):
     """Exact masked attention with the sequence axis sharded over ``mesh``.
 
     q/k/v: [B, H, N, D]; mask: [B, N] bool or None; N must divide by the
-    mesh size.  Returns [B, H, N, D], sequence-sharded like the inputs.
+    mesh's ``axis_name`` size.  Returns [B, H, N, D], sharded like the
+    inputs.
+
+    ``batch_axis``/``head_axis`` name additional mesh axes for the batch
+    and head dimensions, composing the ring with data parallelism and
+    Megatron head sharding (parallel/tensor_parallel.py) on one 3-D
+    ``('data', 'seq', 'model')`` mesh: the ring's ppermute rotates K/V
+    only along ``axis_name``, each (batch-shard, head-shard) runs its own
+    independent ring, and no collective crosses the other two axes.  The
+    per-device score block shrinks to [B/dp, H/tp, n/sp, n/sp].
     """
     b, h, n, d = q.shape
     p_size = mesh.shape[axis_name]
     assert n % p_size == 0, (n, p_size)
+    if batch_axis is not None:
+        assert b % mesh.shape[batch_axis] == 0, (b, batch_axis)
+    if head_axis is not None:
+        assert h % mesh.shape[head_axis] == 0, (h, head_axis)
     if mask is None:
         mask = jnp.ones((b, n), bool)
     scale = d ** -0.5
 
+    qkv_spec = P(batch_axis, head_axis, axis_name, None)
     fn = jax.shard_map(
         partial(_ring_body, axis_name=axis_name, scale=scale),
         mesh=mesh,
-        in_specs=(P(None, None, axis_name, None),
-                  P(None, None, axis_name, None),
-                  P(None, None, axis_name, None),
-                  P(None, axis_name)),
-        out_specs=P(None, None, axis_name, None),
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch_axis, axis_name)),
+        out_specs=qkv_spec,
     )
     return fn(q.astype(jnp.float32), k.astype(jnp.float32),
               v.astype(jnp.float32), mask)
