@@ -206,7 +206,8 @@ def get_parser() -> argparse.ArgumentParser:
                              "merge) on deterministic passes; 0 = off, "
                              "-1 = all local devices. Applies to "
                              "sequences >= --cp-min-len that divide the "
-                             "mesh size")
+                             "mesh size. Composes with --tensor-parallel "
+                             "(one ('data','seq','model') mesh)")
     parser.add_argument("--cp-min-len", type=int, default=1024,
                         help="minimum sequence length for "
                              "--context-parallel routing")

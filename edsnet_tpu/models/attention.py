@@ -42,23 +42,47 @@ class AttentionExtractor(nn.Module):
     context_parallel: int = 0
     cp_min_len: int = 1024
 
-    def _ring_devices(self, n: int, deterministic: bool) -> int:
-        """Effective ring size (0 = use the dense/flash path).
+    def _ring_plan(self, b: int, h: int, n: int, deterministic: bool):
+        """(mesh, seq_axis, batch_axis, head_axis) for the ring, or None
+        for the dense/flash path.
 
-        Clamped to the devices actually present: make_mesh truncates a
-        larger request silently, so checking divisibility against the
-        REQUESTED count could assert-fail inside ring_attention (or
-        silently under-shard) on smaller hosts.
+        When the trainer/evaluate CLI registered a global mesh
+        (models.base.set_ring_mesh) the ring rides its sequence axis —
+        inside one jit every mesh must span the same device set, so a
+        private sub-mesh would clash with params/batches committed to the
+        global one.  The batch/head axes join only when the dims divide
+        them (they fall back to replicated, never to a crash).
+
+        Standalone (no registration): a private ``('data',)`` mesh over
+        the first P devices, clamped to the devices actually present —
+        make_mesh truncates a larger request silently, so checking
+        divisibility against the REQUESTED count could assert-fail inside
+        ring_attention (or silently under-shard) on smaller hosts.
         """
         if not self.context_parallel or not deterministic:
-            return 0
+            return None
         if n < self.cp_min_len:
-            return 0
+            return None
+        from edsnet_tpu.models.base import get_ring_mesh
+        reg = get_ring_mesh()
+        if reg is not None:
+            mesh, seq_ax, b_ax, h_ax = reg
+            p = mesh.shape[seq_ax]
+            if p < 2 or n % p:
+                return None
+            if b_ax is not None and b % mesh.shape[b_ax]:
+                b_ax = None
+            if h_ax is not None and h % mesh.shape[h_ax]:
+                h_ax = None
+            return mesh, seq_ax, b_ax, h_ax
         import jax
         avail = len(jax.devices())
         p = self.context_parallel if self.context_parallel > 0 else avail
         p = min(p, avail)
-        return p if (p > 1 and n % p == 0) else 0
+        if p < 2 or n % p:
+            return None
+        from edsnet_tpu.parallel import make_mesh
+        return make_mesh(p), "data", None, None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -75,13 +99,14 @@ class AttentionExtractor(nn.Module):
         k = proj("K").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
         v = proj("V").reshape(b, n, h, d_k).transpose(0, 2, 1, 3)
 
-        ring_p = self._ring_devices(n, deterministic)
-        if ring_p:
-            from edsnet_tpu.parallel import make_mesh
+        plan = self._ring_plan(b, h, n, deterministic)
+        if plan is not None:
             from edsnet_tpu.parallel.ring_attention import ring_attention
-            mesh = make_mesh(ring_p)
+            mesh, seq_ax, b_ax, h_ax = plan
             # ring_attention applies the d_k**-0.5 scale itself
-            y = ring_attention(q, k, v, mask, mesh=mesh).astype(x.dtype)
+            y = ring_attention(q, k, v, mask, mesh=mesh, axis_name=seq_ax,
+                               batch_axis=b_ax,
+                               head_axis=h_ax).astype(x.dtype)
         elif self.use_pallas and deterministic and n >= self.pallas_min_len:
             from edsnet_tpu.kernels.flash_attention import flash_attention
             y = flash_attention(q, k, v, mask,

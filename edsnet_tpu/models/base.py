@@ -61,9 +61,35 @@ def set_context_parallel(num_devices: int, min_len: int = 1024) -> None:
     via ring attention (--context-parallel): 0 = off, -1 = all local
     devices, >0 = that many.  Applies to deterministic (predict/eval)
     passes on sequences >= ``min_len`` that divide the mesh size."""
-    global _CONTEXT_PARALLEL, _CP_MIN_LEN
+    global _CONTEXT_PARALLEL, _CP_MIN_LEN, _RING_MESH
     _CONTEXT_PARALLEL = int(num_devices)
     _CP_MIN_LEN = int(min_len)
+    if not _CONTEXT_PARALLEL:
+        _RING_MESH = None
+
+
+# (mesh, seq_axis, batch_axis, head_axis) registered by trainer/evaluate:
+# inside one jit every mesh must span the same device set, so when params
+# or batches are committed to a global mesh the ring cannot build its own
+# smaller sub-mesh (JAX rejects the mixed device sets) — it rides a
+# reshape of the full set instead (parallel/mesh.py:make_ring_mesh)
+_RING_MESH = None
+
+
+def set_ring_mesh(mesh, seq_axis: str = "seq",
+                  batch_axis=None, head_axis=None) -> None:
+    """Register the global mesh ring attention must ride (None clears).
+
+    ``batch_axis``/``head_axis`` name mesh axes to also shard the batch
+    and attention heads over, composing the ring with data and tensor
+    parallelism on the one mesh (ring_attention batch_axis/head_axis)."""
+    global _RING_MESH
+    _RING_MESH = None if mesh is None else (mesh, seq_axis, batch_axis,
+                                            head_axis)
+
+
+def get_ring_mesh():
+    return _RING_MESH
 
 
 class LinearExtractor(nn.Module):

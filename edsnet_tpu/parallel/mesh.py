@@ -37,3 +37,36 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def make_ring_mesh(cp: int, tp: int = 0, num_devices: int = 0) -> Mesh:
+    """Mesh for ring attention SPANNING the training device set.
+
+    Inside one jitted computation every mesh must cover the same device
+    set: a ring shard-mapped over a 2-device sub-mesh cannot coexist with
+    params committed to the full 8-device training mesh (JAX rejects the
+    mixed device sets at trace time).  So the ring rides a RESHAPE of the
+    full set instead: ``('data', 'seq')`` with ``seq = cp``, plus a
+    trailing ``'model'`` axis when tensor parallelism is active, so one
+    mesh serves dp x sp x tp simultaneously (ring_attention's
+    batch_axis/head_axis route the extra axes).
+
+    ``cp = -1`` puts every device not taken by ``tp`` on the sequence
+    axis.  Raises ValueError when the factorization doesn't divide the
+    device count — CLI callers surface that directly to the user.
+    """
+    devices = jax.devices()
+    total = num_devices if num_devices > 0 else len(devices)
+    tp = max(int(tp), 1)
+    seq = int(cp) if int(cp) > 0 else max(total // tp, 1)
+    if seq < 2:
+        raise ValueError(f"ring mesh needs >=2 sequence-axis devices, "
+                         f"got cp={cp} of {total}")
+    if total % (seq * tp):
+        raise ValueError(
+            f"--context-parallel {seq}" +
+            (f" x --tensor-parallel {tp}" if tp > 1 else "") +
+            f" must divide the device count {total}")
+    shape = (total // (seq * tp), seq) + ((tp,) if tp > 1 else ())
+    axes = ("data", "seq") + (("model",) if tp > 1 else ())
+    return Mesh(np.asarray(devices[:total]).reshape(shape), axes)

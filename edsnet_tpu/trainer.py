@@ -128,6 +128,24 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         place_params = lambda p: shard_params_tp(p, mesh, args.num_head)
     else:
         mesh = make_mesh(args.num_devices)
+    cp = int(getattr(args, "context_parallel", 0) or 0)
+    if cp:
+        # the eval-time ring must span the SAME device set as the
+        # training mesh (mixed device sets inside one jit are rejected),
+        # so it rides a reshape of it: ('data','seq'[,'model']) with the
+        # batch and tp head axes composing (models/attention._ring_plan)
+        from edsnet_tpu.models.base import set_ring_mesh
+        from edsnet_tpu.parallel.mesh import make_ring_mesh
+        cp_eff = min(cp, mesh.size) if cp > 0 else cp
+        if mesh.size // max(tp, 1) < 2:
+            logger.warning(f"--context-parallel {cp}: only {mesh.size} "
+                           f"device(s) available"
+                           + (f" with --tensor-parallel {tp}" if tp > 1
+                              else "") + "; ring attention stays off")
+        else:
+            ring = make_ring_mesh(cp_eff, tp, num_devices=mesh.size)
+            set_ring_mesh(ring, "seq", batch_axis="data",
+                          head_axis="model" if tp > 1 else None)
     # batch rows are padded to a multiple of this; --pad-batch-to fixes it
     # above the mesh size so batch shapes (and hence dropout/negative-
     # sampling RNG streams) are identical whatever the mesh.  Rows shard

@@ -87,3 +87,74 @@ def test_evaluate_cli_context_parallel_matches(tmp_path, capsys,
 
     assert calls["n"] > 0, "ring attention was never invoked"
     assert f_cp == pytest.approx(f_base, abs=2e-4), (f_cp, f_base)
+
+
+def _train_fscore(train_cli, tmp_path, name, extra, capsys):
+    train_cli.main(["anchor-based", "--base-model", "attention",
+                    "--splits", str(tmp_path / "mock.yml"),
+                    "--data-root", str(tmp_path),
+                    "--model-dir", str(tmp_path / name),
+                    "--num-feature", "32", "--num-hidden", "8",
+                    "--fc-depth", "1", "--num-head", "2",
+                    "--bucket-size", "64", "--batch-size", "2",
+                    "--anchor-scales", "8", "--max-epoch", "2"] + extra)
+    out = capsys.readouterr().out
+    m = re.findall(r"mean F-score ([0-9.]+)", out)
+    assert m, f"no mean F-score in output:\n{out[-2000:]}"
+    return float(m[-1])
+
+
+def test_train_cli_ring_on_submesh_and_with_tp(tmp_path, capsys,
+                                               monkeypatch):
+    """--context-parallel SMALLER than the device count, alone and
+    combined with --tensor-parallel, trains + device-evals end-to-end.
+
+    Regression: the ring used to build a private 2-device mesh while the
+    trainer's params/batches were committed to the full 8-device mesh —
+    JAX rejects mixed device sets inside one jit, so any cp < device
+    count (and every cp x tp combination) crashed in eval_fscore_device.
+    Now the ring rides a reshape of the full set (make_ring_mesh,
+    registered via models.base.set_ring_mesh), composing dp x sp x tp on
+    one mesh; best F must equal the unparallelized run's exactly (same
+    padded shapes, same RNG streams — the ring is eval-only math)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    from edsnet_tpu import train as train_cli
+    from edsnet_tpu.models import base as base_lib
+    from edsnet_tpu.parallel import ring_attention as ring_lib
+
+    _make_mock(tmp_path)
+    f_base = _train_fscore(train_cli, tmp_path, "m_base", [], capsys)
+
+    calls = {"n": 0, "meshes": set()}
+    real = ring_lib.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        calls["meshes"].add(tuple(kw["mesh"].shape.items()))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ring_lib, "ring_attention", counting)
+    try:
+        f_cp = _train_fscore(
+            train_cli, tmp_path, "m_cp",
+            ["--context-parallel", "2", "--cp-min-len", "64"], capsys)
+        n_cp_only = calls["n"]
+        f_cptp = _train_fscore(
+            train_cli, tmp_path, "m_cptp",
+            ["--context-parallel", "2", "--cp-min-len", "64",
+             "--tensor-parallel", "2"], capsys)
+    finally:
+        base_lib.set_context_parallel(0)
+
+    assert n_cp_only > 0, "ring attention never ran on the cp submesh"
+    assert calls["n"] > n_cp_only, "ring attention never ran under cp x tp"
+    assert (("data", 4), ("seq", 2)) in calls["meshes"], calls["meshes"]
+    assert (("data", 2), ("seq", 2), ("model", 2)) in calls["meshes"], \
+        calls["meshes"]
+    assert f_cp == pytest.approx(f_base, abs=2e-4), (f_cp, f_base)
+    assert f_cptp == pytest.approx(f_base, abs=2e-4), (f_cptp, f_base)
+    # set_context_parallel(0) must also clear the registered ring mesh
+    assert base_lib.get_ring_mesh() is None
