@@ -179,25 +179,9 @@ def main(argv=None):
         from edsnet_tpu.models.base import set_use_pallas
         set_use_pallas(args.use_pallas)
     if getattr(args, "context_parallel", 0):
-        import jax
-
-        from edsnet_tpu.models.base import set_context_parallel, \
-            set_ring_mesh
-        from edsnet_tpu.parallel.mesh import make_ring_mesh
-        set_context_parallel(args.context_parallel,
-                             getattr(args, "cp_min_len", 1024))
-        # span ALL devices (('data','seq') reshape): a cp < device-count
-        # sub-mesh would clash with arrays committed to the full set,
-        # and the spare devices shard the batch axis for free.  When the
-        # reshape can't be built (1 device, or cp doesn't divide the
-        # count) fall back to the standalone per-call ring mesh —
-        # evaluate commits nothing to a global mesh, so it stays valid.
-        total = len(jax.devices())
-        cp_eff = (min(args.context_parallel, total)
-                  if args.context_parallel > 0 else total)
-        if total >= 2 and cp_eff >= 2 and total % cp_eff == 0:
-            set_ring_mesh(make_ring_mesh(cp_eff), "seq",
-                          batch_axis="data")
+        from edsnet_tpu.models.base import configure_context_parallel
+        configure_context_parallel(args.context_parallel,
+                                   getattr(args, "cp_min_len", 1024))
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)
     logger.info(vars(args))

@@ -110,9 +110,9 @@ def main():
         from edsnet_tpu.models.base import set_use_pallas
         set_use_pallas(args.use_pallas)
     if getattr(args, "context_parallel", 0):
-        from edsnet_tpu.models.base import set_context_parallel
-        set_context_parallel(args.context_parallel,
-                             getattr(args, "cp_min_len", 1024))
+        from edsnet_tpu.models.base import configure_context_parallel
+        configure_context_parallel(args.context_parallel,
+                                   getattr(args, "cp_min_len", 1024))
 
     print("Loading model ...")
     model = get_model(args.model, **vars(args))

@@ -92,6 +92,27 @@ def get_ring_mesh():
     return _RING_MESH
 
 
+def configure_context_parallel(num_devices: int,
+                               min_len: int = 1024) -> None:
+    """CLI entry helper: set_context_parallel + best-effort registration
+    of the all-devices ring mesh (('data','seq') reshape spanning every
+    local device — a cp < device-count sub-mesh would clash with arrays
+    committed to the full set, and the spare devices shard the batch axis
+    for free).  Skipped when the reshape can't be built (1 device, or cp
+    doesn't divide the count): the standalone per-call ring mesh then
+    still serves callers that commit nothing to a global mesh.  The
+    trainer re-registers with its tp-aware mesh (trainer.py)."""
+    set_context_parallel(num_devices, min_len)
+    if not num_devices:
+        return
+    import jax
+    total = len(jax.devices())
+    cp_eff = min(num_devices, total) if num_devices > 0 else total
+    if total >= 2 and cp_eff >= 2 and total % cp_eff == 0:
+        from edsnet_tpu.parallel.mesh import make_ring_mesh
+        set_ring_mesh(make_ring_mesh(cp_eff), "seq", batch_axis="data")
+
+
 class LinearExtractor(nn.Module):
     """Position-wise linear mixing. (models.py:123-124)"""
     num_feature: int

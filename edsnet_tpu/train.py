@@ -46,9 +46,12 @@ def main(argv=None):
         from edsnet_tpu.models.base import set_use_pallas
         set_use_pallas(args.use_pallas)
     if getattr(args, "context_parallel", 0):
-        from edsnet_tpu.models.base import set_context_parallel
-        set_context_parallel(args.context_parallel,
-                             getattr(args, "cp_min_len", 1024))
+        # the trainer re-registers the ring mesh tp-aware (trainer.py);
+        # this sets the flags + a default all-devices mesh for the
+        # pre-trainer model-construction path
+        from edsnet_tpu.models.base import configure_context_parallel
+        configure_context_parallel(args.context_parallel,
+                                   getattr(args, "cp_min_len", 1024))
 
     config_lib.init_logger(args.model_dir, args.log_file)
     config_lib.set_random_seed(args.seed)
