@@ -63,8 +63,10 @@ class AttentionExtractor(nn.Module):
             return None
         if n < self.cp_min_len:
             return None
-        from edsnet_tpu.models.base import get_ring_mesh
+        from edsnet_tpu.models.base import RING_DISABLED, get_ring_mesh
         reg = get_ring_mesh()
+        if reg is RING_DISABLED:
+            return None
         if reg is not None:
             mesh, seq_ax, b_ax, h_ax = reg
             p = mesh.shape[seq_ax]

@@ -75,6 +75,15 @@ def set_context_parallel(num_devices: int, min_len: int = 1024) -> None:
 # reshape of the full set instead (parallel/mesh.py:make_ring_mesh)
 _RING_MESH = None
 
+# Distinct from None (= unset, the standalone per-call mesh fallback in
+# attention._ring_plan may still engage): RING_DISABLED forces the
+# dense/flash path even on modules constructed with context_parallel > 0.
+# The trainer registers it when the training device set cannot host a
+# ring (1-device mesh, or tp takes every device) — there the standalone
+# fallback would build a private mesh clashing with arrays committed to
+# the training mesh.
+RING_DISABLED = object()
+
 
 def set_ring_mesh(mesh, seq_axis: str = "seq",
                   batch_axis=None, head_axis=None) -> None:
@@ -86,6 +95,14 @@ def set_ring_mesh(mesh, seq_axis: str = "seq",
     global _RING_MESH
     _RING_MESH = None if mesh is None else (mesh, seq_axis, batch_axis,
                                             head_axis)
+
+
+def disable_ring_attention() -> None:
+    """Force the dense/flash attention path for subsequent calls, even on
+    modules baked with ``context_parallel`` at construction.  Cleared by
+    ``set_ring_mesh`` / ``set_context_parallel(0)``."""
+    global _RING_MESH
+    _RING_MESH = RING_DISABLED
 
 
 def get_ring_mesh():

@@ -134,15 +134,29 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
         # training mesh (mixed device sets inside one jit are rejected),
         # so it rides a reshape of it: ('data','seq'[,'model']) with the
         # batch and tp head axes composing (models/attention._ring_plan)
-        from edsnet_tpu.models.base import set_ring_mesh
+        from edsnet_tpu.models.base import (disable_ring_attention,
+                                            set_ring_mesh)
         from edsnet_tpu.parallel.mesh import make_ring_mesh
-        cp_eff = min(cp, mesh.size) if cp > 0 else cp
-        if mesh.size // max(tp, 1) < 2:
-            logger.warning(f"--context-parallel {cp}: only {mesh.size} "
-                           f"device(s) available"
-                           + (f" with --tensor-parallel {tp}" if tp > 1
-                              else "") + "; ring attention stays off")
+        seq_cap = mesh.size // max(tp, 1)   # devices left for the ring
+        cp_eff = min(cp, seq_cap) if cp > 0 else seq_cap
+        if cp_eff < 2:
+            logger.warning(
+                f"--context-parallel {cp}: ring attention needs >=2 "
+                f"sequence-axis devices but only {mesh.size} device(s) "
+                f"are available" + (f" with --tensor-parallel {tp}"
+                                    if tp > 1 else "")
+                + "; ring attention stays off")
+            # the module may have context_parallel baked in from the CLI
+            # configure call — explicitly force the dense path so its
+            # standalone fallback can't build a private mesh that clashes
+            # with arrays committed to the training mesh
+            disable_ring_attention()
         else:
+            if 0 < cp != cp_eff:
+                logger.warning(f"--context-parallel {cp} clamped to "
+                               f"{cp_eff} ({mesh.size} device(s)"
+                               + (f", {tp} on the tensor axis" if tp > 1
+                                  else "") + ")")
             ring = make_ring_mesh(cp_eff, tp, num_devices=mesh.size)
             set_ring_mesh(ring, "seq", batch_axis="data",
                           head_axis="model" if tp > 1 else None)
@@ -170,8 +184,24 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     start_epoch = 0
     state_path = Path(str(save_path) + ".state")
     if getattr(args, "resume", False) and state_path.exists():
+        # flax from_state_dict replaces every leaf with host numpy, which
+        # would silently drop the tensor-parallel head shardings on the
+        # first recompile — re-place each restored leaf with the mesh
+        # sharding its freshly-initialized template had.  Only leaves that
+        # went through place_params carry a NamedSharding; the rest stay
+        # uncommitted numpy (jit auto-places them, as before tp existed).
+        placements = None
+        if place_params is not None:
+            placements = jax.tree.map(
+                lambda x: x.sharding if isinstance(x, jax.Array)
+                and isinstance(x.sharding, NamedSharding) else "host",
+                state)
         state, start_epoch, max_val_fscore, extras = \
             ckpt_lib.load_train_state(state, state_path)
+        if placements is not None:
+            state = jax.tree.map(
+                lambda leaf, sh: leaf if isinstance(sh, str)
+                else jax.device_put(leaf, sh), state, placements)
         if "np_rng" in extras:
             ckpt_lib.restore_np_rng(rng, extras["np_rng"])
         if "step_rng" in extras:

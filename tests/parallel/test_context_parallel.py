@@ -158,3 +158,114 @@ def test_train_cli_ring_on_submesh_and_with_tp(tmp_path, capsys,
     assert f_cptp == pytest.approx(f_base, abs=2e-4), (f_cptp, f_base)
     # set_context_parallel(0) must also clear the registered ring mesh
     assert base_lib.get_ring_mesh() is None
+
+
+def test_train_cli_cp_too_few_devices_stays_off(tmp_path, capsys,
+                                                monkeypatch):
+    """--context-parallel on a mesh too small for a ring really stays off.
+
+    Regression: the 'ring attention stays off' warn branch left the
+    CLI-registered all-devices ring mesh in place (and the module's baked
+    context_parallel would otherwise hit the standalone private-mesh
+    fallback), so `--num-devices 1 --context-parallel 2` crashed at the
+    first epoch eval with 'Received incompatible devices for jitted
+    computation' — a 1-device batch jit cannot host an 8-device
+    shard_map.  The trainer now registers RING_DISABLED."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    from edsnet_tpu import train as train_cli
+    from edsnet_tpu.models import base as base_lib
+    from edsnet_tpu.parallel import ring_attention as ring_lib
+
+    _make_mock(tmp_path)
+    calls = {"n": 0}
+    real = ring_lib.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ring_lib, "ring_attention", counting)
+    try:
+        f = _train_fscore(
+            train_cli, tmp_path, "m_cp_1dev",
+            ["--num-devices", "1", "--context-parallel", "2",
+             "--cp-min-len", "64"], capsys)
+    finally:
+        base_lib.set_context_parallel(0)
+    assert np.isfinite(f)
+    assert calls["n"] == 0, "ring attention must stay off on a 1-device mesh"
+
+
+def test_train_cli_cp1_is_noop(tmp_path, capsys, monkeypatch):
+    """--context-parallel 1 trains on the dense path like cp=0.
+
+    Regression: cp=1 is truthy, so the trainer called make_ring_mesh(1)
+    which raises 'ring mesh needs >=2 sequence-axis devices' and aborted
+    training — before the ring-rides-the-training-mesh rework the same
+    flag was a harmless no-op."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    from edsnet_tpu import train as train_cli
+    from edsnet_tpu.models import base as base_lib
+    from edsnet_tpu.parallel import ring_attention as ring_lib
+
+    _make_mock(tmp_path)
+    calls = {"n": 0}
+    real = ring_lib.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ring_lib, "ring_attention", counting)
+    try:
+        f = _train_fscore(train_cli, tmp_path, "m_cp1",
+                          ["--context-parallel", "1",
+                           "--cp-min-len", "64"], capsys)
+    finally:
+        base_lib.set_context_parallel(0)
+    assert np.isfinite(f)
+    assert calls["n"] == 0
+
+
+def test_train_cli_cp_clamped_to_tp_capacity(tmp_path, capsys, monkeypatch):
+    """cp requests above the devices left after tp are CLAMPED, not fatal.
+
+    Regression: cp_eff was clamped to mesh.size instead of
+    mesh.size // tp, so `--tensor-parallel 2 --context-parallel 8` on 8
+    devices aborted in make_ring_mesh ('must divide the device count')
+    even though the (1, 4, 2) ('data','seq','model') mesh is valid."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    from edsnet_tpu import train as train_cli
+    from edsnet_tpu.models import base as base_lib
+    from edsnet_tpu.parallel import ring_attention as ring_lib
+
+    _make_mock(tmp_path)
+    calls = {"n": 0, "meshes": set()}
+    real = ring_lib.ring_attention
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        calls["meshes"].add(tuple(kw["mesh"].shape.items()))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ring_lib, "ring_attention", counting)
+    try:
+        f = _train_fscore(
+            train_cli, tmp_path, "m_cp_clamp",
+            ["--context-parallel", "8", "--tensor-parallel", "2",
+             "--cp-min-len", "64"], capsys)
+    finally:
+        base_lib.set_context_parallel(0)
+    assert np.isfinite(f)
+    assert calls["n"] > 0, "clamped ring never ran"
+    assert (("data", 1), ("seq", 4), ("model", 2)) in calls["meshes"], \
+        calls["meshes"]

@@ -234,3 +234,75 @@ def test_trainer_tensor_parallel_flag_matches_dp(tmp_path):
     best_dp = _run(["--num-devices", "4"], "dp")
     best_tp = _run(["--num-devices", "8", "--tensor-parallel", "2"], "tp")
     assert abs(best_dp - best_tp) < 1e-4, (best_dp, best_tp)
+
+
+def test_trainer_tp_resume_keeps_head_sharding(tmp_path, monkeypatch):
+    """--resume under --tensor-parallel restores the head shardings.
+
+    Regression: load_train_state goes through flax from_state_dict, which
+    replaces every leaf with host numpy; without re-placement the resumed
+    run silently recompiled with fully replicated params and Adam moments
+    — no error, but the memory/compute win tp exists for was gone for the
+    rest of the run."""
+    import h5py
+
+    import edsnet_tpu.trainer as trainer_mod
+    from edsnet_tpu.config import get_arguments
+    from edsnet_tpu.trainer import train
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8 virtual devices")
+
+    feat = 16
+    rng = np.random.RandomState(5)
+    with h5py.File(tmp_path / "tpr.h5", "w") as f:
+        for i in range(5):
+            n_seq, n_frames = 20, 300
+            g = f.create_group(f"video_{i}")
+            feats = rng.randn(n_seq, feat).astype(np.float32)
+            g["features"] = feats / np.linalg.norm(feats, axis=-1,
+                                                   keepdims=True)
+            g["gtscore"] = rng.rand(n_seq).astype(np.float32)
+            bounds = np.linspace(0, n_frames, 9, dtype=np.int32)
+            g["change_points"] = np.stack([bounds[:-1], bounds[1:] - 1], 1)
+            g["n_frame_per_seg"] = bounds[1:] - bounds[:-1]
+            g["n_frames"] = n_frames
+            g["picks"] = np.arange(n_seq, dtype=np.int32) * 15
+            g["user_summary"] = (rng.rand(2, n_frames) > 0.8).astype(
+                np.float32)
+    keys = [f"../x/tpr.h5/video_{i}" for i in range(5)]
+    split = {"train_keys": keys[:-1], "test_keys": keys[-1:]}
+
+    def _args(max_epoch, extra=()):
+        return get_arguments([
+            "anchor-based", "--base-model", "attention",
+            "--data-root", str(tmp_path),
+            "--model-dir", str(tmp_path / "model_tpr"),
+            "--max-epoch", str(max_epoch), "--num-feature", str(feat),
+            "--num-hidden", "8", "--fc-depth", "1", "--num-head", "2",
+            "--attention-depth", "1", "--bucket-size", "32",
+            "--batch-size", "2", "--anchor-scales", "4",
+            "--num-devices", "8", "--tensor-parallel", "2",
+            "--resume", "--state-save-every", "1"] + list(extra))
+
+    ckpt_dir = tmp_path / "model_tpr" / "checkpoint"
+    ckpt_dir.mkdir(parents=True)
+    save_path = ckpt_dir / "tpr.yml.0.pt"
+    train(_args(2), split, save_path)
+    assert (tmp_path / "model_tpr" / "checkpoint" /
+            "tpr.yml.0.pt.state").exists()
+
+    captured = []
+    real_step = trainer_mod.ab_train_step
+
+    def spy(state, *a, **kw):
+        if not captured:
+            captured.append([str(x.sharding.spec)
+                             for x in jax.tree.leaves(state.params)])
+        return real_step(state, *a, **kw)
+
+    monkeypatch.setattr(trainer_mod, "ab_train_step", spy)
+    train(_args(4), split, save_path)
+    assert captured, "resumed run never took a train step"
+    assert any("model" in s for s in captured[0]), \
+        "resumed params lost their tensor-parallel sharding"
