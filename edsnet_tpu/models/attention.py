@@ -54,10 +54,10 @@ class AttentionExtractor(nn.Module):
         them (they fall back to replicated, never to a crash).
 
         Standalone (no registration): a private ``('data',)`` mesh over
-        the first P devices, clamped to the devices actually present —
-        make_mesh truncates a larger request silently, so checking
-        divisibility against the REQUESTED count could assert-fail inside
-        ring_attention (or silently under-shard) on smaller hosts.
+        the first P devices, clamped to the devices actually present
+        before the divisibility check — checking against the REQUESTED
+        count could assert-fail inside ring_attention (or silently
+        under-shard) on smaller hosts.
         """
         if not self.context_parallel or not deterministic:
             return None

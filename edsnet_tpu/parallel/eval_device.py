@@ -32,8 +32,9 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
 
     Per batch: seq [B,L,F], mask [B,L], lens [B], picks [B,L],
     cps [B,S,2], nfps [B,S], seg_valid [B,S], n_frames [B],
-    user_summary [B,U,Fr], user_valid [B,U], is_avg [B] (tvsum metric),
-    video_valid [B]; static dims L (seq bucket), S, Fr (frame bucket), U.
+    user_summary [B,U,Fr], user_valid [B,U], is_avg [B] (tvsum metric);
+    static dims L (seq bucket), S, Fr (frame bucket), U.  Padding rows
+    are trimmed host-side (``records`` keeps the real count).
 
     ``need_motion`` is what the MODEL consumes: False skips motion arrays
     entirely (a partial-motion h5 evaluates fine under a non-motion
@@ -60,9 +61,13 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
             b = batch_size        # ragged final chunks pad (fewer compiles)
             s_max = _round_up(max(len(r.cps) for r in chunk), 16)
             fr_max = _round_up(max(int(r.n_frames) for r in chunk), 4096)
+            # the annotator count varies per video (SumMe: 15-18 users);
+            # rounding it like the other dims keeps chunks in one (blen,
+            # s_max, fr_max) bucket on one compiled program (padded users
+            # are masked exactly via user_valid)
             u_max = max((0 if r.user_summary is None
                          else r.user_summary.shape[0]) for r in chunk)
-            u_max = max(u_max, 1)
+            u_max = _round_up(max(u_max, 1), 4)
             feat = chunk[0].seq.shape[1]
 
             def zeros(shape, dtype=np.float32):
@@ -84,7 +89,6 @@ def batch_eval_device(records: List[VideoRecord], batch_size: int,
 
             out = {
                 "uniform_rate": uniform_rate,
-                "video_valid": np.arange(b) < len(chunk),
                 "seq": zeros((blen, feat)),
                 "mask": zeros((blen,), bool),
                 "lens": np.zeros(b, np.int32),

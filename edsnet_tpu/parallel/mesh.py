@@ -15,10 +15,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(num_devices: int = 0) -> Mesh:
+def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``num_devices`` devices (0 = all).
+
+    Raises on a request larger than the devices present: silently
+    training on fewer devices than ``--num-devices`` asked for would also
+    silently change the batch-padding quantum and the RNG streams that
+    depend on it.
+    """
     devices = jax.devices()
     n = num_devices if num_devices > 0 else len(devices)
-    return Mesh(np.asarray(devices[:n]), ("data",))
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, but only "
+                         f"{len(devices)} are available")
+    return Mesh(np.asarray(devices[:n]), (axis,))
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
@@ -57,6 +67,9 @@ def make_ring_mesh(cp: int, tp: int = 0, num_devices: int = 0) -> Mesh:
     """
     devices = jax.devices()
     total = num_devices if num_devices > 0 else len(devices)
+    if total > len(devices):
+        raise ValueError(f"ring mesh over {total} devices requested, but "
+                         f"only {len(devices)} are available")
     tp = max(int(tp), 1)
     seq = int(cp) if int(cp) > 0 else max(total // tp, 1)
     if seq < 2:

@@ -32,14 +32,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from edsnet_tpu.parallel.mesh import make_mesh
+
 _ATTN_KEYS = ("Q", "K", "V", "fc")
 
 
 def make_model_mesh(num_devices: int = 0) -> Mesh:
     """1-D ``('model',)`` mesh over the first ``num_devices`` devices."""
-    devices = jax.devices()
-    n = num_devices if num_devices > 0 else len(devices)
-    return Mesh(np.asarray(devices[:n]), ("model",))
+    return make_mesh(num_devices, axis="model")
 
 
 def make_dp_tp_mesh(dp: int, tp: int) -> Mesh:
@@ -79,10 +79,15 @@ def tp_shardings(variables, mesh: Mesh, num_heads: int):
         is_attn = all(k in tree for k in _ATTN_KEYS)
         out = {}
         for name, sub in tree.items():
-            if is_attn and name in ("Q", "K", "V"):
-                out[name] = jax.tree.map(lambda _: col, sub)
-            elif is_attn and name == "fc":
-                out[name] = jax.tree.map(lambda _: row, sub)
+            if is_attn and name in _ATTN_KEYS:
+                # only the [F, F] kernel carries the head sharding; bias/
+                # scale leaves are rank-1 (the matrix specs would be a
+                # rank mismatch) and a row-sharded fc bias would be
+                # summed once per shard by the layer's all-reduce
+                spec = row if name == "fc" else col
+                out[name] = {k: (spec if k == "kernel"
+                                 else jax.tree.map(lambda _: rep, v))
+                             for k, v in sub.items()}
             else:
                 out[name] = walk(sub)
         return out

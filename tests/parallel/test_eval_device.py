@@ -32,6 +32,49 @@ def _records(n_videos=3, tvsum=True):
     return records
 
 
+def _ragged_user_records():
+    return [r._replace(user_summary=(
+        np.random.RandomState(users).rand(users, r.n_frames) > 0.8
+    ).astype(np.float32))
+        for r, users in zip(_records(n_videos=3), (15, 16, 17))]
+
+
+def test_prepare_eval_batches_rounds_user_dim():
+    """The annotator dim is bucketed like the other dims.
+
+    Regression: u_max was the chunk's raw max user count, so videos with
+    15 vs 16 annotators in the same (seq, shots, frames) bucket compiled
+    two distinct XLA programs — minutes-expensive on the remote-compile
+    platform.  Rounding to a multiple of 4 collapses SumMe's 15-18 user
+    range onto two programs; padded users are masked via user_valid, so
+    results are unchanged (pinned below on the same ragged records)."""
+    from edsnet_tpu.parallel.eval_device import prepare_eval_batches
+
+    records = _ragged_user_records()
+    batches = list(prepare_eval_batches(records, batch_size=1,
+                                        bucket_size=32))
+    u_dims = sorted(np.asarray(b["jb"]["user_summary"]).shape[1]
+                    for b in batches)
+    assert u_dims == [16, 16, 20], u_dims
+
+    model = get_model("anchor-based", model_depth="shallow",
+                      base_model="linear", num_feature=FEAT, num_hidden=8,
+                      anchor_scales=(4, 8), num_head=2, fc_depth=1,
+                      attention_depth=1, encoder_type="classic",
+                      orientation="paper", pooling_type="roi")
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, FEAT)),
+                           jnp.ones((1, 32), bool))
+    host_f, host_d = evaluate(model, variables, records, nms_thresh=0.5,
+                              batch_size=2, bucket_size=32)
+    dev_f, dev_d = evaluate_on_device(model, variables, records,
+                                      nms_thresh=0.5, batch_size=2,
+                                      bucket_size=32)
+    assert abs(host_f - dev_f) < 1e-5, (host_f, dev_f)
+    assert abs(host_d - dev_d) < 1e-4, (host_d, dev_d)
+
+
 @pytest.mark.parametrize("model_type,tvsum", [
     ("anchor-based", True), ("anchor-based", False), ("anchor-free", True)])
 def test_device_eval_matches_host(model_type, tvsum):

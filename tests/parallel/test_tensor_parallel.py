@@ -91,6 +91,53 @@ def test_tp_full_model_matches_replicated():
                                atol=2e-4)
 
 
+def test_tp_shardings_biased_dense_keeps_bias_replicated():
+    """Rank-1 leaves under Q/K/V/fc stay replicated.
+
+    Regression: tp_shardings blanketed every leaf under the attention
+    names with the rank-2 matrix specs, so a biased Dense (the repo-wide
+    dense() default) crashed jax.device_put with a rank mismatch — and a
+    row-sharded fc bias would have been summed once per shard by the
+    layer's all-reduce."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    f = 8
+
+    def dense_p(rng):
+        return {"kernel": jnp.asarray(rng.randn(f, f), jnp.float32),
+                "bias": jnp.asarray(rng.randn(f), jnp.float32)}
+
+    rng = np.random.RandomState(0)
+    variables = {"params": {"attn": {k: dense_p(rng)
+                                     for k in ("Q", "K", "V", "fc")}}}
+    mesh = make_model_mesh(2)
+    tp_vars = shard_params_tp(variables, mesh, num_heads=2)
+    q = tp_vars["params"]["attn"]["Q"]
+    assert {s.data.shape for s in q["kernel"].addressable_shards} \
+        == {(f, f // 2)}
+    assert {s.data.shape for s in q["bias"].addressable_shards} == {(f,)}
+    fc = tp_vars["params"]["attn"]["fc"]
+    assert {s.data.shape for s in fc["kernel"].addressable_shards} \
+        == {(f // 2, f)}
+    assert {s.data.shape for s in fc["bias"].addressable_shards} == {(f,)}
+
+
+def test_oversized_device_requests_raise():
+    """make_mesh / make_ring_mesh refuse requests beyond the devices
+    present instead of silently truncating (make_mesh used to train on
+    fewer devices than --num-devices asked for, silently changing the
+    batch-padding quantum and RNG streams; make_ring_mesh died in a
+    cryptic numpy reshape)."""
+    from edsnet_tpu.parallel.mesh import make_mesh, make_ring_mesh
+
+    n_dev = len(jax.devices())
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(n_dev + 1)
+    with pytest.raises(ValueError, match="available"):
+        make_ring_mesh(2, tp=1, num_devices=2 * n_dev)
+
+
 def test_tp_rejects_split_heads():
     from edsnet_tpu.models.attention import AttentionExtractor
 
