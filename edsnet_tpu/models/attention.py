@@ -91,6 +91,9 @@ class AttentionExtractor(nn.Module):
                  deterministic: bool = True):
         b, n, f = x.shape
         h = self.num_head
+        if f % h:
+            raise ValueError(f"num_feature {f} must be divisible by "
+                             f"num_head {h} (head split)")
         d_k = f // h
 
         def proj(name):

@@ -64,8 +64,10 @@ def set_context_parallel(num_devices: int, min_len: int = 1024) -> None:
     global _CONTEXT_PARALLEL, _CP_MIN_LEN, _RING_MESH
     _CONTEXT_PARALLEL = int(num_devices)
     _CP_MIN_LEN = int(min_len)
-    if not _CONTEXT_PARALLEL:
-        _RING_MESH = None
+    # any earlier registration — a mesh from a previous run in this
+    # process, or a trainer's RING_DISABLED — is stale now; callers
+    # (configure_context_parallel, the trainer) re-register afterwards
+    _RING_MESH = None
 
 
 # (mesh, seq_axis, batch_axis, head_axis) registered by trainer/evaluate:

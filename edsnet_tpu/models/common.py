@@ -51,9 +51,15 @@ def apply_mask(x, mask=None):
 
 
 def l2_normalize(x, axis: int = -1, eps: float = 1e-12):
-    """torch F.normalize(p=2) equivalent."""
-    norm = jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
-    return x / norm
+    """torch F.normalize(p=2) equivalent.
+
+    Double-where keeps gradients finite for all-zero rows (a dead-relu
+    row upstream): norm's derivative at 0 is inf, and even a zero
+    cotangent routed through a plain maximum turns that into NaN.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    safe = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return x / jnp.maximum(jnp.where(sq > 0, safe, 0.0), eps)
 
 
 class FcBlock(nn.Module):

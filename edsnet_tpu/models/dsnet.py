@@ -89,7 +89,6 @@ class _AnchorHeads(nn.Module):
     — bit-identical params, numerically equal outputs (fp rounding order
     aside; pinned by tests/models/test_fused_roi_head.py).
     """
-    num_scales: int
 
     def setup(self):
         self.fc_cls = _SplitDense(1)
@@ -173,7 +172,7 @@ class DSNet(nn.Module):
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
 
-        heads = _AnchorHeads(len(scales), name="heads")
+        heads = _AnchorHeads(name="heads")
         if self.pooling_type == "roi":
             if self.fused_roi_head:
                 return heads.fused_roi(out, scales)
@@ -274,16 +273,18 @@ class DSNetDeepAttention(nn.Module):
         # base_model2 exists in the reference but is never used in forward
         x = x + base1(x, mask, deterministic)
         # attention_block re-appends base_model1 (shared weights),
-        # residual every other layer (dsnet.py:181,188-193)
+        # residual every other layer (dsnet.py:181,188-193).  The
+        # reference also RUNS the block on odd layers and discards the
+        # result (dsnet.py:190-191) — output-identical, so the dead
+        # forward (and its backward) is skipped here.
         for i in range(self.attention_depth - 1):
-            out = base1(x, mask, deterministic)
             if i % 2 == 0:
-                x = x + out
+                x = x + base1(x, mask, deterministic)
         out = x
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
-        heads = _AnchorHeads(len(scales), name="heads")
+        heads = _AnchorHeads(name="heads")
         if self.fused_roi_head:
             return heads.fused_roi(out, scales)
         pooled = roi_multi_scale(out, scales)
@@ -321,7 +322,7 @@ class DSNetMultiAttention(nn.Module):
         out = _FcTrunk(self.num_hidden, self.fc_depth, self.tie_fc_blocks,
                        name="trunk")(out, deterministic)
         out = apply_mask(out, mask)
-        heads = _AnchorHeads(len(scales), name="heads")
+        heads = _AnchorHeads(name="heads")
         if self.fused_roi_head:
             return heads.fused_roi(out, scales)
         pooled = roi_multi_scale(out, scales)
@@ -418,7 +419,7 @@ class DSNetMotionFeatures(nn.Module):
         # share_scope keeps fc_cls/fc_loc at this module's top level (the
         # pre-round-3 param layout) while reusing _AnchorHeads' fused/
         # oracle formulations instead of duplicating them here
-        heads = _AnchorHeads(len(scales))
+        heads = _AnchorHeads()
         nn.share_scope(self, heads)
         if self.fused_roi_head:
             return heads.fused_roi(h, scales)

@@ -31,11 +31,12 @@ def _monotonic_bits(x):
 
 
 def _kth_largest_bits(flat, k):
-    """Monotonic-bit value of the k-th largest entry per row.
+    """(k-th largest monotonic-bit value per row, monotonic image).
 
     flat: [B, M] float32 (use -inf for invalid); k: [B] int32 (>= 1).
     Exact in 32 count passes — a radix binary search over the monotonic
-    uint32 image, O(32*M) elementwise work and no sort.
+    uint32 image, O(32*M) elementwise work and no sort.  The image is
+    returned too: threshold comparisons must use the identical transform.
     """
     mono = _monotonic_bits(flat)
 
@@ -45,8 +46,9 @@ def _kth_largest_bits(flat, k):
         return jnp.where(cnt >= k, cand, prefix)
 
     prefix = jnp.zeros(flat.shape[0], jnp.uint32)
-    return jax.lax.fori_loop(
+    kth = jax.lax.fori_loop(
         0, 32, lambda i, p: body(31 - i, p), prefix)
+    return kth, mono
 
 
 class GCNExtractor(nn.Module):
@@ -77,8 +79,7 @@ class GCNExtractor(nn.Module):
         flat = sim.reshape(b, n * n)
         k = (self.keep_ratio
              * (lengths.astype(jnp.float32) ** 2)).astype(jnp.int32)
-        kth = _kth_largest_bits(flat, k)
-        mono = _monotonic_bits(flat)
+        kth, mono = _kth_largest_bits(flat, k)
         above = mono > kth[:, None]
         ties = mono == kth[:, None]
         slots = k - jnp.sum(above, axis=-1)
@@ -94,7 +95,11 @@ class GCNExtractor(nn.Module):
         adj = adj + eye
 
         deg = jnp.sum(adj, axis=-1)
-        dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(deg), 0.0)
+        # double-where: sqrt must never see deg <= 0 (possible with signed
+        # features whose kept weights sum <= -1) or its untaken-branch
+        # NaN/inf derivative poisons the whole step's gradients
+        safe_deg = jnp.where(deg > 0, deg, 1.0)
+        dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(safe_deg), 0.0)
         norm_adj = adj * dinv[:, :, None] * dinv[:, None, :]
 
         h = nn.Dense(self.num_feature, use_bias=False, kernel_init=XAVIER2,

@@ -44,6 +44,10 @@ class BiLSTMExtractor(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         b, n, _ = x.shape
+        if self.num_feature % 2:
+            raise ValueError(f"bilstm needs an even num_feature, got "
+                             f"{self.num_feature} (F/2 per direction "
+                             f"concatenated back to F)")
         hidden = self.num_feature // 2
         lengths = _lengths(mask, b, n)
         fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), unroll=8, name="fwd")(

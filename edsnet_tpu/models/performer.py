@@ -53,8 +53,17 @@ def orthogonal_gaussian(rng, nb_rows: int, nb_cols: int, scaling: int = 0):
 
 
 def softmax_kernel(data, projection, is_query: bool, normalize_data=True,
-                   eps: float = 1e-4):
-    """FAVOR+ positive softmax features. (performer.py:49-74)"""
+                   eps: float = 1e-4, mask=None):
+    """FAVOR+ positive softmax features. (performer.py:49-74)
+
+    The key stabilizer is the max over THIS video's valid positions
+    (per batch element), not the reference's global ``data_dash.max()``:
+    a global max couples videos across the batch and lets padded rows
+    shift real outputs through the ``+ eps`` term (an outlier co-batched
+    video can push every exp() below eps, degrading attention toward a
+    uniform average).  For a single unpadded video the two are identical,
+    which is what the cross-framework parity test pins.
+    """
     normalizer = (data.shape[-1] ** -0.25) if normalize_data else 1.0
     ratio = projection.shape[0] ** -0.5
     data_dash = jnp.einsum("...id,jd->...ij", normalizer * data, projection)
@@ -63,7 +72,12 @@ def softmax_kernel(data, projection, is_query: bool, normalize_data=True,
     if is_query:
         stab = jnp.max(data_dash, axis=-1, keepdims=True)
     else:
-        stab = jnp.max(data_dash)
+        masked = data_dash if mask is None else jnp.where(
+            mask[:, None, :, None], data_dash, -jnp.inf)
+        stab = jnp.max(masked, axis=tuple(range(1, data_dash.ndim)),
+                       keepdims=True)
+        # all-padding rows (batch fill videos) have no valid position
+        stab = jnp.where(jnp.isfinite(stab), stab, 0.0)
     return ratio * (jnp.exp(data_dash - diag - stab) + eps)
 
 
@@ -110,7 +124,7 @@ class FastSelfAttention(nn.Module):
 
         q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
         q = softmax_kernel(q, projection, is_query=True)
-        k = softmax_kernel(k, projection, is_query=False)
+        k = softmax_kernel(k, projection, is_query=False, mask=mask)
         out = linear_attention(q, k, v, mask)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)

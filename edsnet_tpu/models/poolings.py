@@ -91,6 +91,13 @@ class Pooling(nn.Module):
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
         scale = list(self.scales)[0]
+        if self.pooling_type == "dwt" and scale % 2:
+            # the Haar fold pairs window positions; fc_kernel is sized
+            # (scale//2)*H while an odd window yields ceil(scale/2) slots
+            # (the reference's .view() rejects odd windows the hard way,
+            # poolings.py:33)
+            raise ValueError(f"dwt pooling needs an even --anchor-scales "
+                             f"window, got {scale}")
         b, n, h = x.shape
         in_dim = (scale // 2 if self.pooling_type == "dwt" else scale) * h
         kernel = self.param("fc_kernel", XAVIER2, (in_dim, self.num_hidden))

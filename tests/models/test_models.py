@@ -147,6 +147,81 @@ def test_cross_attention_motion_head():
     assert loc.shape == (1, 16, 1, 2)
 
 
+def test_performer_batch_composition_independence():
+    """One video's output must not depend on what it is co-batched with.
+
+    Regression: the FAVOR+ key stabilizer was a single global max over
+    the whole batch (the reference's semantics, performer.py:66) — an
+    outlier co-batched video raised it enough to push every exp() below
+    the ``+ eps`` floor, degrading attention toward a uniform average of
+    v (max-abs drift 0.91 measured).  The stabilizer is now per batch
+    element over valid positions, which cancels in the attention ratio."""
+    model = build_base_model("performer", FEAT, HEADS)
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 24, FEAT))
+    variables, out_alone = _init_and_run(model, x)
+
+    outlier = 40.0 * jax.random.normal(jax.random.PRNGKey(8), (1, 24, FEAT))
+    out_pair = model.apply(variables, jnp.concatenate([x, outlier], axis=0))
+    np.testing.assert_allclose(np.asarray(out_pair)[0],
+                               np.asarray(out_alone)[0],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gcn_grads_finite_under_padding():
+    """Padded rows have degree 0; the D^-1/2 normalization must not turn
+    that into NaN gradients (the classic double-where trap: the untaken
+    1/sqrt(0) branch's inf derivative times a zero cotangent is NaN,
+    poisoning the WHOLE step's gradients, not just the padded rows)."""
+    from edsnet_tpu.models.gcn import GCNExtractor
+
+    f = 8
+    model = GCNExtractor(f)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 12, f))
+    mask = jnp.arange(12)[None, :] < jnp.array([12, 7])[:, None]
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, mask)
+
+    def loss(params):
+        out = model.apply({"params": params}, x, mask)
+        return jnp.sum(jnp.where(mask[..., None], out, 0.0) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads)), "NaN/inf in GCN grads"
+
+
+def test_l2_normalize_zero_row_grads_finite():
+    """An all-zero row (dead-relu upstream) must not NaN the gradients:
+    norm's derivative at 0 is inf, and even a zero cotangent routed
+    through a plain maximum turns it into NaN."""
+    from edsnet_tpu.models.common import l2_normalize
+
+    x = jnp.array([[1.0, 2.0], [0.0, 0.0]])
+    out = l2_normalize(x)
+    np.testing.assert_allclose(np.asarray(out)[0],
+                               np.asarray(x[0] / jnp.linalg.norm(x[0])))
+    assert np.asarray(out)[1].tolist() == [0.0, 0.0]
+    g = jax.grad(lambda v: jnp.sum(l2_normalize(v)[0]))(x)
+    assert np.isfinite(np.asarray(g)).all(), g
+
+
+def test_invalid_configs_fail_loudly():
+    """Head/feature mismatches and odd dwt windows raise clear errors
+    instead of opaque reshape failures deep inside XLA (the reference
+    crashes in a .view() for odd dwt scales, poolings.py:33)."""
+    from edsnet_tpu.models.poolings import Pooling
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 30))
+    with pytest.raises(ValueError, match="divisible by num_head"):
+        _init_and_run(build_base_model("attention", 30, 4), x)
+    with pytest.raises(ValueError, match="even num_feature"):
+        _init_and_run(build_base_model("bilstm", 31, 2),
+                      jax.random.normal(jax.random.PRNGKey(0), (1, 16, 31)))
+    with pytest.raises(ValueError, match="even --anchor-scales"):
+        _init_and_run(Pooling(scales=(5,), pooling_type="dwt",
+                              num_hidden=8),
+                      jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8)))
+
+
 def test_dropout_stochastic_in_train_mode():
     model = get_model("anchor-based", model_depth="shallow", **_head_kwargs())
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 30, FEAT))
