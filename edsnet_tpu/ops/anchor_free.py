@@ -19,8 +19,6 @@ def get_loc_label(target) -> Array:
     get (0, 0).  Jittable; works on padded masks (padding must be 0).
     """
     m = jnp.asarray(target).astype(jnp.int32)
-    n = m.shape[0]
-    idx = jnp.arange(n, dtype=jnp.float32)
 
     # distance to segment start: running count of consecutive ones ending here
     def left_scan(carry, x):
@@ -36,7 +34,6 @@ def get_loc_label(target) -> Array:
     off_r = (run_r - 1).astype(jnp.float32)
     offsets = jnp.stack([jnp.where(inside, off_l, 0.0),
                          jnp.where(inside, off_r, 0.0)], axis=-1)
-    del idx
     return offsets
 
 

@@ -125,10 +125,14 @@ def seq2bbox_masked(mask, max_boxes: int) -> Tuple[Array, Array]:
 def nms_masked(scores, bboxes, thresh: float, valid=None) -> Array:
     """Jittable greedy score-sorted NMS over 1-D LR boxes.
 
-    Exact reproduction of bbox_helper.py:80-118: boxes with ``left >= right``
-    are dropped; processing order is descending score with numpy's
-    ``argsort()[::-1]`` tie order (ties broken by *larger* original index
-    first); a surviving box suppresses all others with ``iou >= thresh``.
+    Reproduces bbox_helper.py:80-118: boxes with ``left >= right`` are
+    dropped; processing order is descending score; a surviving box
+    suppresses all others with ``iou >= thresh``.  Ties are broken
+    DETERMINISTICALLY here (stable ascending sort flipped => larger
+    original index first); the reference's ``argsort()`` is numpy's
+    default introsort, whose tie order is unspecified — so on exactly
+    tied scores (e.g. sigmoid saturation) the kept set can legitimately
+    differ from a particular numpy run, and from the host twin ``nms``.
 
     :param scores: [N] confidences.
     :param bboxes: [N, 2] LR boxes.

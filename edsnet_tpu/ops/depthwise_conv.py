@@ -62,13 +62,15 @@ def _dtc_bwd(saved, g):
     t = v.shape[2]
     k = w.shape[1]
     p = k // 2
+    # cotangents must match the primal dtypes exactly (custom_vjp contract)
+    # — e.g. bf16 activations with f32 params make g/dv f32 while v is bf16
     dv = depthwise_time_conv_reference(g, w[:, ::-1])
     vp = jnp.pad(v, ((0, 0), (0, 0), (p, p), (0, 0)))
     dw = jnp.stack([
         jnp.sum(g * jax.lax.dynamic_slice_in_dim(vp, j, t, axis=2),
                 axis=(0, 2, 3))
         for j in range(k)], axis=1)
-    return dv, dw.astype(w.dtype)
+    return dv.astype(v.dtype), dw.astype(w.dtype)
 
 
 depthwise_time_conv.defvjp(_dtc_fwd, _dtc_bwd)

@@ -19,7 +19,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_SQRT2 = 1.4142135623730951
 _INV_SQRT2 = 0.7071067811865476
 
 

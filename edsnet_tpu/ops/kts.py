@@ -317,10 +317,18 @@ def cpd_auto_device(K: np.ndarray, ncp: int, vmax: float,
     K = np.asarray(K)
     n = K.shape[0]
     # the device path caps the changepoint budget at n-1 (more than n-1
-    # segments is meaningless); apply the same cap BEFORE branching so the
-    # f64 fallback answers exactly where the device path answers instead
-    # of tripping cpd_auto's (m+1)*lmin <= n assertion
+    # segments is meaningless) and masks lmin-infeasible budgets via inf
+    # costs; apply the same caps BEFORE branching so the f64 fallback
+    # answers exactly where the device path answers instead of tripping
+    # cpd_auto's (m+1)*lmin <= n assertion
     ncp = min(int(ncp), n - 1)
+    if lmin > 1:
+        ncp = min(ncp, max(n // lmin - 1, 0))
+    if lmax is not None and n > (ncp + 1) * lmax:
+        # no feasible segmentation at any m <= ncp under lmax: the device
+        # core's costs are all inf and it selects m_best=0 with no change
+        # points — answer the same on the fallback path too
+        return np.zeros((0,), np.int64), np.asarray([np.inf])
     # guard on the ORIGINAL values, before any f32 cast loses precision
     if n * n * float(np.abs(K).max(initial=0.0)) > _DEVICE_F32_CRIT:
         kw = {} if lmax is None else {"lmax": lmax}

@@ -162,8 +162,10 @@ def keyshot_summ_jax(pred, picks, cps, nfps, seg_valid, n_frames,
     """Jittable keyshot summary at a static frame bucket.
 
     :param pred: [N] scores at pick positions (padded ok; masked by picks).
-    :param picks: [N] int frame positions of picks (padding picks must repeat
-        the last valid pick or point past n_frames).
+    :param picks: [N] int frame positions of picks.  Padding picks MUST
+        point past n_frames (e.g. n_frames + 1, as eval_device does):
+        repeating the last valid pick would make searchsorted resolve the
+        trailing frames to a padded pred slot.
     :param cps: [S, 2] int change-point segments (first, last) inclusive.
     :param nfps: [S] frames per segment.
     :param seg_valid: [S] bool segment mask.
@@ -187,16 +189,26 @@ def keyshot_summ_jax(pred, picks, cps, nfps, seg_valid, n_frames,
         frame_scores = jnp.repeat(pred, uniform_sample_rate,
                                   total_repeat_length=max_frames)
     else:
-        # frame f takes the score of the last pick <= f
+        # frame f takes the score of the last pick <= f; frames BEFORE
+        # the first pick stay 0 (reference vsumm_helper.py:75-78 writes
+        # only [picks[i], picks[i+1]) ranges into a zeros array)
         pick_idx = jnp.searchsorted(picks, frames, side="right") - 1
-        frame_scores = pred[jnp.clip(pick_idx, 0, pred.shape[0] - 1)]
+        frame_scores = jnp.where(
+            pick_idx >= 0, pred[jnp.clip(pick_idx, 0, pred.shape[0] - 1)],
+            0.0)
     frame_scores = jnp.where(frames < n_frames, frame_scores, 0.0)
 
-    # per-segment mean via prefix sums over [0, max_frames]
-    csum = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                            jnp.cumsum(frame_scores)])
     first, last = cps[:, 0], cps[:, 1]
-    seg_sum = csum[jnp.clip(last + 1, 0, max_frames)] - csum[jnp.clip(first, 0, max_frames)]
+    inside = (frames[None, :] >= first[:, None]) & \
+             (frames[None, :] <= last[:, None])
+
+    # per-segment mean via masked per-segment sums ([S, F] contraction):
+    # a single prefix sum over max_frames carries O(total)-magnitude
+    # cancellation error in f32 (prefix ~1e4 has ulp ~1e-3, enough to
+    # flip the int(1000*mean) quantization on long videos); local sums
+    # keep the error at per-segment scale and match the host np.mean
+    seg_sum = jnp.einsum("sf,f->s", inside.astype(jnp.float32),
+                         frame_scores)
     seg_len = jnp.maximum(last + 1 - first, 1).astype(jnp.float32)
     seg_scores = (1000.0 * seg_sum / seg_len).astype(jnp.int32)
     seg_scores = jnp.where(seg_valid, jnp.maximum(seg_scores, 0), 0)
@@ -206,8 +218,6 @@ def keyshot_summ_jax(pred, picks, cps, nfps, seg_valid, n_frames,
     packed = knapsack_jax(seg_scores, weights, limits,
                           max_capacity=int(max_frames * proportion) + 1)
 
-    inside = (frames[None, :] >= first[:, None]) & \
-             (frames[None, :] <= last[:, None])
     summary = jnp.any(inside & (packed & seg_valid)[:, None], axis=0)
     return summary & (frames < n_frames)
 

@@ -88,14 +88,18 @@ def windowed_linear(x: jnp.ndarray, slot_weights: jnp.ndarray,
 
     if off > 0:
         # exact left-boundary windows: out_i = sum_{j <= i + s//2} A_j x[j]
+        # (fix-up region clamped to n: a sequence shorter than the left
+        # reach would otherwise write an [B, off, O] block into n < off
+        # rows)
+        off_eff = min(off, n)
         head = x[:, :min(s, n), :]                          # [B, <=s, H]
         terms = jnp.einsum("bjh,jho->bjo", head,
                            slot_weights[:head.shape[1]])    # [B, <=s, O]
         prefix = jnp.cumsum(terms, axis=1)                  # P_m
-        last = jnp.minimum(jnp.arange(off) + s // 2, n - 1)
+        last = jnp.minimum(jnp.arange(off_eff) + s // 2, n - 1)
         last = jnp.minimum(last, head.shape[1] - 1)
-        fix = prefix[:, last, :]                            # [B, off, O]
-        y = y.at[:, :off, :].set(fix)
+        fix = prefix[:, last, :]                            # [B, off_eff, O]
+        y = y.at[:, :off_eff, :].set(fix)
 
     if bias is not None:
         y = y + bias
@@ -120,12 +124,13 @@ def windowed_sum(x: jnp.ndarray, coeffs) -> jnp.ndarray:
     xp = jnp.pad(x, ((0, 0), (max(off, 0), s - 1 - off), (0, 0)))
     y = sum(coeffs[j] * xp[:, j:j + n, :] for j in range(s))
     if off > 0:
+        off_eff = min(off, n)   # same short-sequence clamp as above
         head = x[:, :min(s, n), :]
         terms = coeffs[:head.shape[1], None] * head
         prefix = jnp.cumsum(terms, axis=1)
-        last = jnp.minimum(jnp.arange(off) + s // 2, n - 1)
+        last = jnp.minimum(jnp.arange(off_eff) + s // 2, n - 1)
         last = jnp.minimum(last, head.shape[1] - 1)
-        y = y.at[:, :off, :].set(prefix[:, last, :])
+        y = y.at[:, :off_eff, :].set(prefix[:, last, :])
     return y
 
 

@@ -44,6 +44,26 @@ def test_extract_windows_reference_semantics():
 
 @pytest.mark.parametrize("pooling_type", ["fft", "dwt", "flat-pooling"])
 @pytest.mark.parametrize("scale", [4, 8])
+def test_fused_matches_gather_short_sequence(pooling_type, scale):
+    """N shorter than the window's left reach (n < s//2 - 1).
+
+    Regression: windowed_linear's left-edge fix-up wrote an [B, off, O]
+    block into a y with only n < off rows and crashed with a shape
+    mismatch.  Unreachable via the bucketed batch paths (N >= 64) but
+    live for direct callers (e.g. unbatched infer on a very short clip)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 2, 16).astype(np.float32))
+
+    fused = Pooling((scale,), pooling_type, 8, fused=True)
+    plain = Pooling((scale,), pooling_type, 8, fused=False)
+    variables = fused.init(jax.random.PRNGKey(0), x)
+    for a, b in zip(fused.apply(variables, x), plain.apply(variables, x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("pooling_type", ["fft", "dwt", "flat-pooling"])
+@pytest.mark.parametrize("scale", [4, 8])
 def test_fused_matches_gather(pooling_type, scale):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 40, 16).astype(np.float32))

@@ -41,6 +41,23 @@ def test_gradients_match_autodiff_oracle():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_mixed_precision_cotangent_dtypes():
+    """bf16 activations with f32 kernel (the bf16-default training
+    config): the custom VJP must return cotangents matching the PRIMAL
+    dtypes.  Regression: dv came back f32 for a bf16 v, which JAX rejects
+    at the first grad trace."""
+    v, w = _inputs(k=5, seed=3)
+    v = v.astype(jnp.bfloat16)
+
+    def loss(v, w):
+        return jnp.sum(depthwise_time_conv(v, w).astype(jnp.float32) ** 2)
+
+    gv, gw = jax.grad(loss, argnums=(0, 1))(v, w)
+    assert gv.dtype == jnp.bfloat16
+    assert gw.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gv, np.float32)).all()
+
+
 def test_short_sequence_vs_kernel():
     """T < K: windows clip on both sides."""
     v, w = _inputs(t=4, k=9, seed=2)

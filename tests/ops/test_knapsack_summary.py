@@ -103,6 +103,49 @@ def test_keyshot_summ_jax_matches_host():
         assert (host == dev).all(), prop
 
 
+def test_keyshot_summ_jax_nonzero_start_picks():
+    """Frames before the first pick score 0, matching the host upsample
+    (vsumm_helper.py:75-78 writes only [picks[i], picks[i+1]) ranges into
+    a zeros array).  Regression: the searchsorted path clipped index -1
+    to 0 and leaked pred[0] into frames 0..picks[0]-1, silently shifting
+    segment means and the knapsack packing."""
+    rng = np.random.RandomState(0)
+    n_frames = 90
+    picks = np.arange(10, n_frames, 15, dtype=np.int32)  # first pick at 10
+    pred = rng.rand(len(picks)).astype(np.float32)
+    pred[0] = 1.0   # maximally incriminating leak value
+    bounds = np.linspace(0, n_frames, 10, dtype=np.int32)
+    cps = np.stack([bounds[:-1], bounds[1:] - 1], 1)
+    nfps = (bounds[1:] - bounds[:-1]).astype(np.int32)
+    for prop in (0.2, 0.5):
+        host = vs.get_keyshot_summ(pred, cps, n_frames, nfps, picks,
+                                   proportion=prop)
+        dev = np.asarray(vs.keyshot_summ_jax(
+            pred, picks, cps, nfps, np.ones(len(cps), bool), n_frames,
+            max_frames=96, proportion=prop))[:n_frames]
+        assert (host == dev).all(), prop
+
+
+def test_keyshot_summ_jax_long_video_quantization():
+    """int(1000*mean) parity on a LONG video.  Regression: segment means
+    came from a single global prefix sum whose f32 magnitude (~1e4 at
+    20k frames) carries cancellation error around the quantization
+    boundary; per-segment sums keep the error at segment scale."""
+    rng = np.random.RandomState(1)
+    n_frames, rate = 20000, 15
+    n = -(-n_frames // rate)
+    picks = (np.arange(n) * rate).astype(np.int32)
+    pred = rng.rand(n).astype(np.float32)
+    bounds = np.linspace(0, n_frames, 41, dtype=np.int32)
+    cps = np.stack([bounds[:-1], bounds[1:] - 1], 1)
+    nfps = (bounds[1:] - bounds[:-1]).astype(np.int32)
+    host = vs.get_keyshot_summ(pred, cps, n_frames, nfps, picks)
+    dev = np.asarray(vs.keyshot_summ_jax(
+        pred, picks, cps, nfps, np.ones(len(cps), bool), n_frames,
+        max_frames=20480))[:n_frames]
+    assert (host == dev).all()
+
+
 def test_keyshot_summ_nan_raises():
     pred, cps, n_frames, nfps, picks = _toy_video()
     pred = pred.copy()

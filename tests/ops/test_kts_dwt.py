@@ -165,6 +165,35 @@ def test_cpd_auto_device_matches_host_real_sizes():
             err_msg=f"device KTS diverged from host at n={n}")
 
 
+def test_cpd_auto_device_fallback_feasibility():
+    """The f64 host fallback answers wherever the device path answers.
+
+    Regression: with lmin=2 the ncp=n-1 clamp tripped cpd_auto's
+    (m+1)*lmin <= n assertion, so the SAME call crashed or answered
+    depending only on kernel magnitude; an lmax too small for the video
+    similarly asserted where the device path returns the empty
+    segmentation (all costs inf, m_best=0)."""
+    from edsnet_tpu.ops import kts
+
+    rng = np.random.RandomState(0)
+    n = 40
+    f = rng.randn(n, 4)
+    K = (f @ f.T) / n
+    big = K * 1e7   # n^2 * max|K| >> the f32 criterion -> forced fallback
+
+    # lmin=2 + ncp=n-1: used to AssertionError on the fallback path
+    cps_b, scores_b = kts.cpd_auto_device(big, ncp=n - 1, vmax=1.0, lmin=2)
+    assert len(cps_b) >= 1 and (np.diff(cps_b) >= 2).all()
+    assert np.isfinite(scores_b[-1])
+
+    # lmax-infeasible (n > (ncp+1)*lmax): both paths answer empty
+    cps_d, scores_d = kts.cpd_auto_device(K, ncp=2, vmax=1.0, lmax=5)
+    cps_f, scores_f = kts.cpd_auto_device(big, ncp=2, vmax=1.0, lmax=5)
+    for cps, scores in ((cps_d, scores_d), (cps_f, scores_f)):
+        assert len(cps) == 0, cps
+        assert np.isinf(scores).all(), scores
+
+
 def test_cpd_auto_device_bucket_independent():
     """The same video must give the same change points whatever bucket it
     lands in (true length is traced, padding is masked out)."""
