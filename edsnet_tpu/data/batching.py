@@ -51,10 +51,16 @@ class TrainItem:
 
 
 def make_target(record: VideoRecord) -> Optional[np.ndarray]:
-    """gtscore -> keyshot summary -> 15x downsampled 0/1 target.
+    """gtscore -> keyshot summary -> per-pick 0/1 target.
 
     Mirrors anchor_based/train.py:79-89 incl. the NaN-skip and
-    empty-target-skip behavior (returns None to skip the video).
+    empty-target-skip behavior (returns None to skip the video).  The
+    downsample indexes the frame summary at the video's ``picks`` —
+    identical to the reference's hard-coded ``[::15]`` for the standard
+    eccv16 layout (picks == arange(N)*15), but also correct for h5s built
+    with a non-15 ``--sample-rate`` (a fixed ::15 would desynchronize the
+    target length from the seq length, training the tail against padded
+    all-negative labels).
     """
     try:
         keyshot = summ_ops.get_keyshot_summ(
@@ -64,7 +70,9 @@ def make_target(record: VideoRecord) -> Optional[np.ndarray]:
         if "NaN" in str(e):
             return None
         raise
-    target = summ_ops.downsample_summ(keyshot)
+    picks = np.clip(np.asarray(record.picks, np.int64), 0,
+                    max(int(record.n_frames) - 1, 0))
+    target = keyshot[picks]
     if not target.any():
         return None
     return target.astype(np.int32)
@@ -115,8 +123,7 @@ def prepare_ab_item(record: VideoRecord, anchor_scales: Sequence[int],
                      num_pos=num_pos, motion=record.motion_features)
 
 
-def prepare_af_item(record: VideoRecord,
-                    bucket_size: int = 64) -> Optional[TrainItem]:
+def prepare_af_item(record: VideoRecord) -> Optional[TrainItem]:
     """Anchor-free labels for one video. (anchor_free/train.py:55-67)"""
     target = make_target(record)
     if target is None:
@@ -146,7 +153,7 @@ def prepare_items(dataset: VideoDataset, kind: str,
             item = prepare_ab_item(record, anchor_scales, pos_iou, neg_iou,
                                    inc_iou, bucket_size)
         else:
-            item = prepare_af_item(record, bucket_size)
+            item = prepare_af_item(record)
         if item is not None:
             if not need_motion:
                 item.motion = None
@@ -195,6 +202,22 @@ def batch_items(items: List[TrainItem], batch_size: int, bucket_size: int,
             yield _stack_chunk(chunk, blen, pad_batch_to)
 
 
+def _stack_motion(motions: List[np.ndarray], b_pad: int):
+    """(motion [B,M,Fm], motion_mask [B,M]) with M rounded up to 16.
+
+    One definition serves the train (_stack_chunk) and eval
+    (batch_eval_records) paths so the rounding/mask conventions cannot
+    drift between them.
+    """
+    m_len = max(m.shape[0] for m in motions)
+    m_len = ((m_len + 15) // 16) * 16
+    arrs = [_pad_to(np.asarray(m, np.float32), m_len) for m in motions]
+    arrs += [np.zeros_like(arrs[0])] * (b_pad - len(motions))
+    mmask = [np.arange(m_len) < m.shape[0] for m in motions]
+    mmask += [np.zeros(m_len, bool)] * (b_pad - len(motions))
+    return np.stack(arrs), np.stack(mmask)
+
+
 def _stack_chunk(chunk: List[TrainItem], blen: int,
                  pad_batch_to: int) -> Dict[str, np.ndarray]:
     b = len(chunk)
@@ -226,16 +249,20 @@ def _stack_chunk(chunk: List[TrainItem], blen: int,
     if first.af_loc is not None:
         batch["af_loc"] = stack(lambda it: it.af_loc, np.float32)
         batch["af_ctr"] = stack(lambda it: it.af_ctr, np.float32)
-    if first.motion is not None:
-        m_len = max(it.motion.shape[0] for it in chunk)
-        m_len = ((m_len + 15) // 16) * 16
-        motions = [_pad_to(np.asarray(it.motion, np.float32), m_len)
-                   for it in chunk]
-        motions += [np.zeros_like(motions[0])] * (b_pad - b)
-        batch["motion"] = np.stack(motions)
-        mmask = [np.arange(m_len) < it.motion.shape[0] for it in chunk]
-        mmask += [np.zeros(m_len, bool)] * (b_pad - b)
-        batch["motion_mask"] = np.stack(mmask)
+    motions = [it.motion for it in chunk]
+    if any(m is not None for m in motions):
+        # all-or-nothing per chunk, like the eval path's
+        # resolve_build_motion — gating on chunk[0] alone would make a
+        # mixed chunk crash or silently drop motion depending only on
+        # the epoch's shuffle order
+        if not all(m is not None for m in motions):
+            missing = [it.key for it, m in zip(chunk, motions)
+                       if m is None]
+            raise ValueError(
+                f"motion_features missing for {missing[:3]} — a "
+                f"cross-attention model needs motion for every video")
+        batch["motion"], batch["motion_mask"] = _stack_motion(motions,
+                                                              b_pad)
     return batch
 
 
@@ -306,14 +333,6 @@ def batch_eval_records(records: List[VideoRecord], batch_size: int,
                             + [np.zeros(blen, bool)] * (b_pad - b))
             out = {"seq": seq, "mask": mask, "records": chunk}
             if resolve_build_motion(chunk, need_motion):
-                m_len = max(r.motion_features.shape[0] for r in chunk)
-                m_len = ((m_len + 15) // 16) * 16
-                motions = [_pad_to(np.asarray(r.motion_features, np.float32),
-                                   m_len) for r in chunk]
-                motions += [np.zeros_like(motions[0])] * (b_pad - b)
-                out["motion"] = np.stack(motions)
-                mmask = [np.arange(m_len) < r.motion_features.shape[0]
-                         for r in chunk]
-                mmask += [np.zeros(m_len, bool)] * (b_pad - b)
-                out["motion_mask"] = np.stack(mmask)
+                out["motion"], out["motion_mask"] = _stack_motion(
+                    [r.motion_features for r in chunk], b_pad)
             yield out

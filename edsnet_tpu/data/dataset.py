@@ -144,7 +144,11 @@ class AverageMeter:
         return total / count if count else 0.0
 
     def _check_attr(self, attr: str) -> None:
-        assert attr in self.totals and attr in self.counts
+        # AttributeError (not assert) keeps the __getattr__ contract:
+        # getattr(meter, k, default) / hasattr only swallow
+        # AttributeError, and `python -O` strips asserts entirely
+        if attr not in self.totals or attr not in self.counts:
+            raise AttributeError(attr)
 
 
 def get_ckpt_dir(model_dir: PathLike) -> Path:

@@ -79,36 +79,77 @@ class FlowDiffMotion:
         return out / (np.linalg.norm(out) + 1e-10)
 
 
+def make_motion_net(backend: str = "flowdiff",
+                    weights: Optional[str] = None):
+    """Construct the backend once; reuse across videos (the conv3d
+    backend pays a flax init + jit compile per construction)."""
+    return (Conv3DMotionNet(weights) if backend == "conv3d"
+            else FlowDiffMotion())
+
+
 def extract_motion_features(video_path, clip_len: int = 8,
                             sample_rate: int = 15, backend: str = "flowdiff",
-                            weights: Optional[str] = None) -> np.ndarray:
+                            weights: Optional[str] = None,
+                            net=None) -> np.ndarray:
     """mp4 -> [num_picks, 1024] motion features (one per sampled frame,
-    computed over the surrounding clip)."""
+    computed over the surrounding clip).
+
+    Streams the decode: only a clip-sized window of frames is resident
+    (a 2-hour video would otherwise buffer ~8 GB of uint8 frames).
+    ``net`` reuses a ``make_motion_net`` instance across videos.
+    """
     import cv2
 
-    net = (Conv3DMotionNet(weights) if backend == "conv3d"
-           else FlowDiffMotion())
+    if net is None:
+        net = make_motion_net(backend, weights)
 
     cap = cv2.VideoCapture(str(video_path))
     assert cap.isOpened(), f"Cannot open video: {video_path}"
-    frames = []
+
+    # window[i] holds frame (read - len(window) + 1 + i); a clip centered
+    # at c covers [max(0, c - clip_len//2), ...clip_len frames), so one
+    # frame becomes safe to featurize once clip_len - clip_len//2 frames
+    # after its center have been read (or at EOF)
+    lo_keep = clip_len // 2           # frames kept behind the next center
+    window: list = []
+    base = 0                          # absolute index of window[0]
+    feats = []
+    next_center = 0
+
+    def emit(center, total):
+        lo = max(0, center - clip_len // 2)
+        clip = np.asarray(window[lo - base:lo - base + clip_len])
+        if len(clip) < clip_len:
+            clip = np.concatenate(
+                [clip, np.repeat(clip[-1:], clip_len - len(clip), axis=0)])
+        feats.append(net(clip / 255.0))
+
+    read = 0
     while True:
         ret, frame = cap.read()
         if not ret:
             break
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        frames.append(cv2.resize(frame, (112, 112)))
+        window.append(cv2.resize(frame, (112, 112)))
+        read += 1
+        # centers whose full clip is now resident
+        while next_center < read and \
+                max(0, next_center - clip_len // 2) + clip_len <= read:
+            emit(next_center, read)
+            next_center += sample_rate
+        # drop frames no longer reachable by any future clip (the keep
+        # boundary is clamped to frames actually read — the next center
+        # can lie beyond the stream position when sample_rate > clip_len)
+        keep_from = min(max(0, next_center - lo_keep), read)
+        drop = keep_from - base
+        if drop > 0:
+            del window[:drop]
+            base = keep_from
     cap.release()
-    frames = np.asarray(frames)
-
-    feats = []
-    for center in range(0, len(frames), sample_rate):
-        lo = max(0, center - clip_len // 2)
-        clip = frames[lo:lo + clip_len]
-        if len(clip) < clip_len:
-            clip = np.concatenate(
-                [clip, np.repeat(clip[-1:], clip_len - len(clip), axis=0)])
-        feats.append(net(clip / 255.0))
+    # tail centers (clips clipped at EOF, padded with the last frame)
+    while next_center < read:
+        emit(next_center, read)
+        next_center += sample_rate
     return np.asarray(feats, dtype=np.float32)
 
 
@@ -126,12 +167,13 @@ def main(argv=None):
     import os
     save_dir = Path(args.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
+    net = make_motion_net(args.backend, args.weights)
     for name in sorted(os.listdir(args.video_dir)):
         if not name.endswith(".mp4"):
             continue
         feats = extract_motion_features(
             Path(args.video_dir) / name, sample_rate=args.sample_rate,
-            backend=args.backend, weights=args.weights)
+            net=net)
         out = save_dir / (name.rsplit(".", 1)[0] + ".npy")
         np.save(out, feats)
         print(f"{name}: {feats.shape} -> {out}")

@@ -17,7 +17,6 @@ from typing import Tuple
 
 import numpy as np
 
-from edsnet_tpu.ops.kts import cpd_auto
 
 
 def ends_with_mp4(path: PathLike) -> bool:
@@ -228,22 +227,15 @@ class VideoPreprocessor:
         return n_frames, np.asarray(features, dtype=np.float32)
 
     def kts(self, n_frames: int, features: np.ndarray):
-        """Linear-kernel KTS segmentation. (video_helper.py:109-126)"""
-        seq_len = len(features)
-        picks = np.arange(0, seq_len) * self.sample_rate
-        kernel = np.matmul(features, features.T)
-        if self.device_kts:
-            from edsnet_tpu.ops.kts import cpd_auto_device
-            change_points, _ = cpd_auto_device(kernel, seq_len - 1, 1)
-        else:
-            change_points, _ = cpd_auto(kernel, seq_len - 1, 1)
-        change_points = change_points * self.sample_rate
-        change_points = np.hstack((0, change_points, n_frames))
-        begin_frames = change_points[:-1]
-        end_frames = change_points[1:]
-        change_points = np.vstack((begin_frames, end_frames - 1)).T
-        n_frame_per_seg = end_frames - begin_frames
-        return change_points, n_frame_per_seg, picks
+        """Linear-kernel KTS segmentation. (video_helper.py:109-126)
+
+        Delegates to h5io.segment_features — the one place holding the
+        gram/solver/shot-table math (the reference repeats it inline in
+        three files)."""
+        from edsnet_tpu.data import h5io
+        cps, nfps, picks = h5io.segment_features(
+            features, self.sample_rate, n_frames, device=self.device_kts)
+        return cps, nfps, picks
 
     def run(self, video_path: PathLike):
         n_frames, features = self.get_features(video_path)

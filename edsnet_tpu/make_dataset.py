@@ -123,8 +123,21 @@ def build_dataset(args) -> int:
                 "video_name": name,
             }
             if motion_path is not None:
-                fields["motion_features"] = \
-                    np.load(motion_path)[::args.sample_rate]
+                motion = np.load(motion_path)
+                # two dump conventions exist: data/motion.py writes one
+                # row per SAMPLED frame (len == num picks), the
+                # reference's I3D dumps are per-frame and need the
+                # stride.  Dispatch on length — blindly striding an
+                # already-sampled dump would decimate it 15x and
+                # time-misalign every motion row.
+                if len(motion) >= n_frames:
+                    motion = motion[::args.sample_rate]
+                elif len(motion) < len(picks):
+                    raise ValueError(
+                        f"{name}: motion dump has {len(motion)} rows for "
+                        f"{len(picks)} sampled frames of a {n_frames}-"
+                        f"frame video — wrong --sample-rate?")
+                fields["motion_features"] = motion[:len(picks)]
             h5io.write_group(out, name, fields)
             written += 1
 
