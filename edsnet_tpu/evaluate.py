@@ -252,8 +252,15 @@ def eval_fold_from_checkpoint(args, model, split_path, fold_idx: int,
                 f"h5 motion_features are {sorted(widths)}-wide but the "
                 f"checkpoint's cross-attention expects width {w_ckpt}")
     if eval_fn is None:
+        from edsnet_tpu.parallel import make_mesh
         from edsnet_tpu.parallel.eval_device import evaluate_on_device
         eval_fn = evaluate_on_device
+        # shard eval rows over the data mesh (all devices unless
+        # --num-devices caps it); padding rows are masked exactly, so a
+        # 1-device mesh reproduces the unsharded result bit-for-bit
+        eval_kwargs = {**eval_kwargs,
+                       "mesh": make_mesh(getattr(args, "num_devices", 0)
+                                         or 0)}
     return eval_fn(model, variables, records, args.nms_thresh,
                    batch_size=max(args.batch_size, 1),
                    bucket_size=args.bucket_size, **eval_kwargs)

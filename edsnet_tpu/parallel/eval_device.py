@@ -187,18 +187,37 @@ def _eval_batch_device(model, variables, batch, num_scales: int,
 
 def prepare_eval_batches(records: List[VideoRecord], batch_size: int,
                          bucket_size: int,
-                         need_motion: bool | None = None) -> List[Dict]:
+                         need_motion: bool | None = None,
+                         mesh=None) -> List[Dict]:
     """Upload eval batches to the device ONCE for reuse across epochs.
 
     Train-time eval runs every epoch on the same records; re-uploading
     ~20 MB of padded eval inputs per epoch dominated wall-clock on the
     tunneled platform.  The returned list feeds evaluate_on_device's
     ``prepared=`` argument.
+
+    ``mesh``: when given, batch rows are committed sharded over the
+    mesh's ``'data'`` axis (batch_size rounds up to a multiple of it), so
+    the per-row vmap in ``_eval_batch_device`` partitions across the
+    data-parallel devices instead of running replicated — uncommitted
+    inputs inherit the replicated sharding of the (replicated) params
+    under GSPMD, which leaves every device computing the FULL eval.
+    Padding rows are masked on the host exactly as before (``records``
+    keeps the real count), so sharded == unsharded F-scores
+    (tests/parallel/test_eval_device.py::test_mesh_sharded_eval).
     """
+    place = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh_n = int(mesh.shape["data"])
+        batch_size = -(-max(batch_size, 1) // mesh_n) * mesh_n
+        row_spec = NamedSharding(mesh, PartitionSpec("data"))
+        place = lambda v: jax.device_put(v, row_spec)
     prepared = []
     for batch in batch_eval_device(records, batch_size, bucket_size,
                                    need_motion=need_motion):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
+        jb = {k: place(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
         prepared.append({"jb": jb, "frame_bucket": batch["frame_bucket"],
                          "uniform_rate": batch["uniform_rate"],
@@ -271,18 +290,20 @@ def eval_fscore_device(model, variables, prepared, nms_thresh: float):
 
 def evaluate_on_device(model, variables, records: List[VideoRecord],
                        nms_thresh: float, batch_size: int = 4,
-                       bucket_size: int = 64, prepared=None):
+                       bucket_size: int = 64, prepared=None, mesh=None):
     """All-device F-score evaluation; returns (mean_fscore, mean_diversity).
 
     Diversity still computed host-side from the returned summaries (it is
     cheap and only logged).  Pass ``prepared`` (prepare_eval_batches) when
-    evaluating the same records repeatedly.
+    evaluating the same records repeatedly, or ``mesh`` to shard batch
+    rows over its ``'data'`` axis.
     """
     num_scales = _num_scales_of(model)
 
     if prepared is None:
         prepared = prepare_eval_batches(records, batch_size, bucket_size,
-                                        need_motion=model_needs_motion(model))
+                                        need_motion=model_needs_motion(model),
+                                        mesh=mesh)
 
     # dispatch every batch first, fetch once: host syncs cost 100ms+ on
     # tunneled platforms, so per-batch np.asarray() made eval dominate the

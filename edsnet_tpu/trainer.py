@@ -97,13 +97,6 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
 
     val_set = VideoDataset(split["test_keys"], args.data_root)
     val_records = [val_set[i] for i in range(len(val_set))]
-    # eval inputs live on device across epochs (tunnel uploads are slow)
-    prepared_eval = None
-    if not getattr(args, "host_eval", False):
-        from edsnet_tpu.parallel.eval_device import prepare_eval_batches
-        prepared_eval = prepare_eval_batches(
-            val_records, max(args.batch_size, 1), args.bucket_size,
-            need_motion=model_needs_motion(model))
 
     if args.model_depth == "cross-attention":
         missing = [it.key for it in items if it.motion is None]
@@ -167,6 +160,17 @@ def train(args, split, save_path) -> Tuple[float, List[float], List[int]]:
     mesh_n = int(mesh.shape["data"])
     pad_to = int(getattr(args, "pad_batch_to", 0) or 0)
     n_dev = -(-max(pad_to, mesh_n) // mesh_n) * mesh_n
+    # eval inputs live on device across epochs (tunnel uploads are slow),
+    # committed SHARDED over the data axis so per-epoch eval partitions
+    # across the same devices as the train step (uncommitted eval inputs
+    # inherit the params' replicated sharding and every device would
+    # redundantly compute the full eval)
+    prepared_eval = None
+    if not getattr(args, "host_eval", False):
+        from edsnet_tpu.parallel.eval_device import prepare_eval_batches
+        prepared_eval = prepare_eval_batches(
+            val_records, max(args.batch_size, 1), args.bucket_size,
+            need_motion=model_needs_motion(model), mesh=mesh)
     rng = np.random.RandomState(args.seed)
     step_rng = jax.random.PRNGKey(args.seed + 2)
 

@@ -223,3 +223,49 @@ def test_partial_motion_data_fine_for_nonmotion_model_host_path():
     f_plain, _ = evaluate(model, variables, plain, nms_thresh=0.5,
                           batch_size=2, bucket_size=32)
     assert abs(f_mixed - f_plain) < 1e-6
+
+
+def test_mesh_sharded_eval_matches_unsharded():
+    """prepare_eval_batches(mesh=...) commits rows sharded over 'data' and
+    the F-score equals the unsharded device eval bit-for-bit.
+
+    Without the mesh, eval inputs are uncommitted and GSPMD replicates the
+    whole eval on every device of a data-parallel run; with it, the
+    per-row vmap partitions across the mesh.  Row padding (batch_size
+    rounds up to the mesh size) is masked exactly, so F is unchanged."""
+    from jax.sharding import NamedSharding
+    from edsnet_tpu.parallel import make_mesh
+    from edsnet_tpu.parallel.eval_device import prepare_eval_batches
+
+    model = get_model("anchor-based", model_depth="shallow",
+                      base_model="linear", num_feature=FEAT, num_hidden=8,
+                      anchor_scales=(4, 8), num_head=2, fc_depth=1,
+                      attention_depth=1, encoder_type="classic",
+                      orientation="paper", pooling_type="roi")
+    records = _records()
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, 32, FEAT)),
+                           jnp.ones((1, 32), bool))
+
+    mesh = make_mesh(8)
+    prepared = prepare_eval_batches(records, batch_size=2, bucket_size=32,
+                                    mesh=mesh)
+    # rows committed sharded over the full data axis (batch_size 2 -> 8)
+    for entry in prepared:
+        seq = entry["jb"]["seq"]
+        assert seq.shape[0] == 8, seq.shape
+        assert isinstance(seq.sharding, NamedSharding)
+        assert seq.sharding.spec == jax.sharding.PartitionSpec("data")
+        assert len(seq.sharding.mesh.devices.ravel()) == 8
+
+    sharded_f, sharded_d = evaluate_on_device(
+        model, variables, records, nms_thresh=0.5, prepared=prepared)
+    plain_f, plain_d = evaluate_on_device(
+        model, variables, records, nms_thresh=0.5, batch_size=2,
+        bucket_size=32)
+    assert abs(sharded_f - plain_f) < 1e-6, (sharded_f, plain_f)
+    assert abs(sharded_d - plain_d) < 1e-6, (sharded_d, plain_d)
+    # the trainer's end-to-end 8-vs-1-device F parity (which now rides
+    # this sharded path) is covered by
+    # tests/parallel/test_multichip_pipeline.py
